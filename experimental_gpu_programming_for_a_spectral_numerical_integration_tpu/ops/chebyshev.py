@@ -1,0 +1,120 @@
+"""Chebyshev–Gauss–Lobatto (CGL) spectral primitives.
+
+TPU-native re-design of the reference's L1 layer
+(`/root/reference/include/chebyshev_differentiation.h:19-108`):
+
+* :func:`cgl_points` ≙ ``ComputeChebyshevPoints<N,L>()`` (h:19-30) — the CGL
+  grid on ``[0, L]`` in the reference's **descending** order, so ``x[0] = L``
+  (rod tip) and ``x[N-1] = 0`` (rod base / known initial point).
+* :func:`coefficients_c` ≙ ``GetCoefficients_c<N>()`` (h:37-52).
+* :func:`diff_matrix` ≙ ``getDn<N>()`` (h:59-108), including the
+  numerically-critical negative-row-sum diagonal trick (h:104).
+* :func:`split_endpoint` ≙ the ``Dn_NN`` / ``Dn_IN`` block slicing at
+  `/root/reference/main.cpp:94-95`, generalized to either endpoint.
+
+Design notes (TPU-first):
+  The grid and differentiation matrix are **static** given ``N`` — they are
+  computed at trace time in float64 NumPy (host) and embedded as constants in
+  the jitted program, exactly as the reference bakes them in via C++
+  templates.  Nothing here ever runs per-step on device; only their
+  *products* with traced data do.  ``N`` plays the role of the reference's
+  template parameter: changing it recompiles, matching the C++-template
+  spirit noted in SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+__all__ = [
+    "cgl_points",
+    "coefficients_c",
+    "diff_matrix",
+    "split_endpoint",
+    "integration_matrix",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def cgl_points(n: int, length: float = 1.0) -> np.ndarray:
+    """Chebyshev–Gauss–Lobatto points on ``[0, length]``, descending.
+
+    ``x_j = (length/2) * (1 + cos(pi * j / (n-1)))`` so that ``x[0] = length``
+    and ``x[-1] = 0`` — the reference's ordering
+    (`chebyshev_differentiation.h:26`), where the *last* grid point is the
+    rod base carrying the initial condition.
+    """
+    if n < 2:
+        raise ValueError(f"need at least 2 CGL points, got {n}")
+    j = np.arange(n, dtype=np.float64)
+    return (float(length) / 2.0) * (1.0 + np.cos(np.pi * j / (n - 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def coefficients_c(n: int) -> np.ndarray:
+    """Trefethen ``c`` weights: ``c_i = (-1)^i * (2 at endpoints, 1 inside)``.
+
+    Mirrors ``GetCoefficients_c<N>()`` (`chebyshev_differentiation.h:37-52`).
+    """
+    c = np.ones(n, dtype=np.float64)
+    c[0] = 2.0
+    c[-1] = 2.0
+    c *= (-1.0) ** np.arange(n)
+    return c
+
+
+@functools.lru_cache(maxsize=None)
+def diff_matrix(n: int, length: float = 1.0) -> np.ndarray:
+    """The ``n x n`` Chebyshev differentiation matrix on the CGL grid.
+
+    Off-diagonal ``D_ij = (c_i / c_j) / (x_i - x_j)``; the diagonal is set by
+    the negative-row-sum trick: seed the diagonal denominator with 1 via
+    ``dX = X - X^T + I`` (so the raw diagonal is ``c_i/c_i = 1``) and then
+    subtract the full row sum — ``D_ii = -sum_{j != i} D_ij`` exactly as
+    `chebyshev_differentiation.h:89-104` does.  This guarantees rows sum to
+    zero (constants differentiate to zero) to machine precision.
+    """
+    x = cgl_points(n, length)
+    c = coefficients_c(n)
+    dx = x[:, None] - x[None, :] + np.eye(n)
+    d = (c[:, None] / c[None, :]) / dx
+    d[np.diag_indices(n)] -= d.sum(axis=1)
+    return d
+
+
+def split_endpoint(d: np.ndarray, known: str = "last"):
+    """Split ``D`` into the unknown-block ``D_NN`` and known-column ``D_IN``.
+
+    With the known (initial-condition) point at the **last** grid index — the
+    reference's case, `/root/reference/main.cpp:94-95` — the unknown points
+    are ``0..n-2``:
+
+    ``D_NN = D[:n-1, :n-1]`` (square, acts on unknowns),
+    ``D_IN = D[:n-1, n-1:]`` (column, couples the known endpoint in).
+
+    ``known='first'`` gives the mirrored split for an IC at ``x[0]``
+    (ascending-grid conventions), a generalization the reference hard-codes
+    away.
+    """
+    n = d.shape[0]
+    if known == "last":
+        return d[: n - 1, : n - 1], d[: n - 1, n - 1 :]
+    if known == "first":
+        return d[1:, 1:], d[1:, :1]
+    raise ValueError(f"known must be 'first' or 'last', got {known!r}")
+
+
+@functools.lru_cache(maxsize=None)
+def integration_matrix(n: int, length: float = 1.0, known: str = "last") -> np.ndarray:
+    """``D_NN^{-1}`` — the discrete spectral integration operator.
+
+    The reference computes this explicitly for the position solve
+    (`/root/reference/main.cpp:159`).  Here it is a trace-time host constant
+    (float64 LU solve, not ``.inverse()``), reused as the Picard/Neumann
+    preconditioner for the quaternion solve (see ``ops/linsolve.py``).
+    """
+    d_nn, _ = split_endpoint(diff_matrix(n, length), known)
+    m = d_nn.shape[0]
+    return np.linalg.solve(d_nn, np.eye(m))
