@@ -1,0 +1,84 @@
+"""North-star benchmark: batched N=16 rod-kinematics spectral solves/sec.
+
+Runs on whatever accelerator JAX finds (the driver provides one real TPU
+chip).  Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "solves/sec", "vs_baseline": N}``.
+
+The headline number is the **refined** path (double-word accuracy,
+<=1e-8 rel Linf vs the f64 Eigen-reference oracle — verified inline here);
+the plain-f32 picard throughput and the measured accuracy ride along in
+"extra".  ``vs_baseline`` is the ratio against the BASELINE.json build
+target of 1e6 solves/sec (the reference publishes no numbers of its own —
+it is a single-rod, single-thread CPU program).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _measure(fn, arg, reps: int = 20):
+    import jax
+
+    out = fn(arg)
+    jax.block_until_ready(out)
+    _ = float(np.asarray(out if out.ndim == 0 else out.ravel()[0]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(arg)
+    # host fetch of a scalar forces completion of the final execution
+    _ = float(np.asarray(out if out.ndim == 0 else out.ravel()[0]))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import rod
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils import oracle
+
+    cfg = rod.RodConfig(n=16)
+    batch = 131072
+    rng = np.random.default_rng(0)
+    qes = jnp.asarray(rng.standard_normal((batch, 9)), jnp.float32)
+
+    def refined_step(q):
+        sol = rod.rod_shape(q, cfg=cfg, method="refined")
+        return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
+
+    def picard_step(q):
+        sol = rod.rod_shape(q, cfg=cfg, method="picard")
+        return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
+
+    dt_refined = _measure(jax.jit(refined_step), qes)
+    dt_picard = _measure(jax.jit(picard_step), qes)
+
+    # Inline accuracy gate vs the f64 algorithm-exact oracle (demo strain).
+    qe_dd = rod.split_strain(oracle.demo_qe())
+    sol = rod.rod_shape(qe_dd, cfg=cfg, method="refined")
+    _, r_ref = oracle.integrate_position(oracle.demo_qe())
+    rel_err = float(
+        np.max(np.abs(sol.positions_f64() - r_ref)) / np.max(np.abs(r_ref))
+    )
+
+    value = batch / dt_refined
+    print(json.dumps({
+        "metric": "batched N=16 rod-kinematics spectral solves/sec (refined, <=1e-8 path)",
+        "value": round(value, 1),
+        "unit": "solves/sec",
+        "vs_baseline": round(value / 1e6, 3),
+        "extra": {
+            "device": str(jax.devices()[0]),
+            "batch": batch,
+            "picard_f32_solves_per_sec": round(batch / dt_picard, 1),
+            "refined_ms_per_batch": round(dt_refined * 1e3, 3),
+            "rel_linf_error_vs_f64_reference": rel_err,
+            "accuracy_gate_1e-8": rel_err <= 1e-8,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

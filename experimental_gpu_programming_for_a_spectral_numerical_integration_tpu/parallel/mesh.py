@@ -1,0 +1,71 @@
+"""Multi-chip sharding of rod batches over a TPU mesh.
+
+The reference has **no** parallelism or communication layer (SURVEY.md §2:
+single-threaded CPU, no MPI/NCCL/threads) — this module is the new
+capability the repo's CUDA study materials aspired to, built the TPU way:
+``jax.sharding.Mesh`` + ``NamedSharding`` annotations, letting XLA insert
+ICI collectives.  Rods are embarrassingly parallel, so the dominant axis is
+**data parallelism over rods** (axis ``"rods"``); gradient reductions in
+calibration/training flows become ``psum`` over that axis automatically.
+
+For very high-order single problems (N=256 multi-segment rods) the state is
+still small enough for one chip (SURVEY.md §5), so no sequence/tensor axis
+is needed for the solve itself; a ``"segments"`` axis is reserved for
+multi-segment batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "shard_rods",
+    "replicate",
+    "sharded_rod_shape",
+]
+
+RODS_AXIS = "rods"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over the rod-batch axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (RODS_AXIS,))
+
+
+def shard_rods(mesh: Mesh, arr):
+    """Place a ``(B, ...)`` batch with its leading axis split over the mesh."""
+    spec = P(RODS_AXIS, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, arr):
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def sharded_rod_shape(mesh: Mesh, method: str = "picard", **kwargs):
+    """jit-compiled batched rod solve with explicit batch sharding.
+
+    Returns a function ``qes (B, na*ne) -> (quaternions, positions)`` whose
+    input/output live sharded over the ``rods`` axis; XLA keeps everything
+    local to each chip (no collectives — rods are independent), which is the
+    communication-optimal layout.
+    """
+    from ..models import rod
+
+    batch_spec = NamedSharding(mesh, P(RODS_AXIS, None))
+    out_spec = NamedSharding(mesh, P(RODS_AXIS, None, None))
+
+    def step(qes):
+        sol = rod.rod_shape(qes, method=method, **kwargs)
+        return sol.quaternions, sol.positions
+
+    return jax.jit(
+        step, in_shardings=batch_spec, out_shardings=(out_spec, out_spec)
+    )
