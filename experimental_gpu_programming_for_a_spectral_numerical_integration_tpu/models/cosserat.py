@@ -1,0 +1,203 @@
+"""Cosserat/Kirchhoff rod statics BVP: Newton on the collocation residual.
+
+BASELINE.json config #3 ("Full Cosserat rod statics: position+quaternion
+spectral BVP with tip loads, N=64, Newton on collocation residual") — a new
+capability beyond the reference's forward kinematics, built on the theory
+the reference ships in ``materials/rod_modeling.pdf``:
+
+* strain parameterization ``kappa(X) = Phi(X) qe`` (pdf eq. 2.5, the live
+  ``na=3`` curvature case of `utilities.h:49-67`),
+* generalized stiffness ``K_ee = int Phi^T H Phi dX`` (pdf eq. 2.14),
+* the spectral kinematics solves of `/root/reference/main.cpp` as the
+  forward model.
+
+Equilibrium (internal-moment balance of a Kirchhoff rod under a tip wrench
+``(F, M)``): at every cross-section the constitutive moment must equal the
+static moment transported to that section,
+
+    H (kappa(X) - kappa0(X)) = R(X)^T [ (r(L) - r(X)) x F + M ],
+
+projected onto the strain modes with Clenshaw–Curtis quadrature:
+
+    res(qe) = int_0^L Phi^T { H (kappa - kappa0) - tau(X; qe) } dX  = 0.
+
+``r`` and ``R`` come from the differentiable spectral solves, so the Newton
+Jacobian is an exact ``jax.jacfwd`` through the collocation core — the
+implicit-function route SURVEY.md §7 flags as the 'hard part', handled here
+by JAX's forward-mode AD through the (unrolled) Picard iteration.
+
+Everything is jittable; :func:`solve_statics` runs Newton inside
+``lax.while_loop`` and is batchable over load sets via ``vmap``;
+:func:`load_continuation` sweeps a load schedule re-using each converged
+``qe`` as the next warm start (BASELINE config #5's continuation pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import basis as basis_ops
+from ..ops import chebyshev
+from ..ops import lie
+from . import rod
+
+__all__ = [
+    "StaticsConfig",
+    "StaticsSolution",
+    "equilibrium_residual",
+    "solve_statics",
+    "load_continuation",
+]
+
+
+@dataclass(frozen=True)
+class StaticsConfig:
+    """Rod geometry/discretization plus the constitutive law.
+
+    ``stiffness``: diagonal ``H = (H_torsion, H_bend_y, H_bend_z)`` —
+    ``(GJ, EI_y, EI_z)`` for a Kirchhoff rod.  ``kappa0``: intrinsic
+    (rest) curvature modes, same layout as ``qe``.
+    """
+
+    rod: rod.RodConfig = field(default_factory=lambda: rod.RodConfig(n=64))
+    stiffness: tuple = (1.0, 1.0, 1.0)
+    kappa0: tuple | None = None
+
+    @functools.cached_property
+    def full_basis_table(self) -> np.ndarray:
+        """(n, ne) basis table at ALL grid points (statics integrates over
+        the whole rod, base point included — unlike the kinematics solve)."""
+        pts = tuple((self.rod.points / self.rod.length).tolist())
+        return basis_ops.basis_table(pts, self.rod.ne, self.rod.basis)
+
+    @functools.cached_property
+    def quad_weights(self) -> np.ndarray:
+        return chebyshev.clenshaw_curtis_weights(self.rod.n, self.rod.length)
+
+
+class StaticsSolution(NamedTuple):
+    qe: jnp.ndarray            # (..., na*ne) converged strain modes
+    iterations: jnp.ndarray    # (...,) Newton iterations used
+    residual_norm: jnp.ndarray # (...,) final ||res||_2
+    converged: jnp.ndarray     # (...,) bool
+
+
+def _full_grid_state(cfg: rod.RodConfig, qe, q_init, r_init, iters):
+    """Kinematics on the FULL grid: solved unknowns + the known base point
+    appended at the end (descending grid: index n-1 is the base)."""
+    sol = rod.rod_shape(qe, q_init, r_init, cfg=cfg, method="picard",
+                        iters=iters, normalize_quaternions=False)
+    q_base = jnp.broadcast_to(
+        jnp.asarray(q_init, sol.quaternions.dtype), qe.shape[:-1] + (1, 4)
+    )
+    r_base = jnp.broadcast_to(
+        jnp.asarray(r_init, sol.positions.dtype), qe.shape[:-1] + (1, 3)
+    )
+    q = jnp.concatenate([sol.quaternions, q_base], axis=-2)
+    r = jnp.concatenate([sol.positions, r_base], axis=-2)
+    return q, r
+
+
+def equilibrium_residual(qe, tip_force, tip_moment, cfg: StaticsConfig,
+                         iters: int = 24):
+    """Modal moment-balance residual ``(..., na*ne)`` (zero at equilibrium)."""
+    rc = cfg.rod
+    qe = jnp.asarray(qe)
+    dtype = qe.dtype
+    q_init = jnp.asarray(rod.DEFAULT_Q_INIT, dtype)
+    r_init = jnp.zeros(3, dtype)
+    q, r = _full_grid_state(rc, qe, q_init, r_init, iters)
+
+    table = jnp.asarray(cfg.full_basis_table, dtype)       # (n, ne)
+    w = jnp.asarray(cfg.quad_weights, dtype)               # (n,)
+    h = jnp.asarray(cfg.stiffness, dtype)                  # (3,)
+
+    # Curvature on the full grid.
+    kappa = basis_ops.strain_at_points(qe, table)          # (..., n, 3)
+    if cfg.kappa0 is not None:
+        kappa = kappa - basis_ops.strain_at_points(
+            jnp.asarray(cfg.kappa0, dtype), table
+        )
+
+    # Static moment about each section, in the body frame (normalized
+    # rotation: this is our physics model, not a reference-parity path).
+    rot = lie.quat_to_rot_normalized(q)                    # (..., n, 3, 3)
+    r_tip = r[..., :1, :]                                  # tip is point 0
+    arm = r_tip - r                                        # (..., n, 3)
+    f = jnp.broadcast_to(jnp.asarray(tip_force, dtype), arm.shape)
+    world_moment = jnp.cross(arm, f) + jnp.asarray(tip_moment, dtype)
+    tau = jnp.einsum("...nij,...nj->...ni", jnp.swapaxes(rot, -1, -2),
+                     world_moment, precision="highest")
+
+    # Weak form: res[a, e] = sum_j w_j P_e(x_j) (H kappa - tau)[j, a].
+    mr = h * kappa - tau                                   # (..., n, 3)
+    res = jnp.einsum("j,je,...ja->...ae", w, table, mr, precision="highest")
+    return res.reshape(res.shape[:-2] + (rc.na * rc.ne,))
+
+
+def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
+                  cfg: StaticsConfig = StaticsConfig(), qe0=None,
+                  tol: float = 1e-9, max_iter: int = 30,
+                  damping: float = 1.0, iters: int = 24) -> StaticsSolution:
+    """Newton on :func:`equilibrium_residual` with exact AD Jacobians.
+
+    jit/vmap-compatible (``lax.while_loop`` with static shapes).  For
+    strong loads prefer :func:`load_continuation`.
+    """
+    rc = cfg.rod
+    nq = rc.na * rc.ne
+    tip_force = jnp.asarray(tip_force)
+    dtype = tip_force.dtype if tip_force.dtype in (jnp.float32, jnp.float64) \
+        else jnp.float32
+    if qe0 is None:
+        qe0 = jnp.zeros(tip_force.shape[:-1] + (nq,), dtype)
+    qe0 = jnp.asarray(qe0, dtype)
+    tip_moment = jnp.asarray(tip_moment, dtype)
+
+    def residual(qe):
+        return equilibrium_residual(qe, tip_force, tip_moment, cfg, iters)
+
+    def cond(state):
+        qe, k, rnorm = state
+        return jnp.logical_and(k < max_iter, rnorm > tol)
+
+    def body(state):
+        qe, k, _ = state
+        res = residual(qe)
+        jac = jax.jacfwd(residual)(qe)
+        step = jnp.linalg.solve(jac, res[..., None])[..., 0]
+        qe = qe - damping * step
+        return qe, k + 1, jnp.linalg.norm(residual(qe), axis=-1)
+
+    r0 = jnp.linalg.norm(residual(qe0), axis=-1)
+    qe, k, rnorm = jax.lax.while_loop(cond, body, (qe0, jnp.zeros((), jnp.int32), r0))
+    return StaticsSolution(qe=qe, iterations=k, residual_norm=rnorm,
+                           converged=rnorm <= tol)
+
+
+def load_continuation(tip_forces, tip_moments=None,
+                      cfg: StaticsConfig = StaticsConfig(), qe0=None,
+                      **newton_kwargs):
+    """Sweep a schedule of loads, warm-starting each Newton solve from the
+    previous converged strain (BASELINE config #5 continuation pattern).
+
+    ``tip_forces``: ``(num_steps, 3)``; returns a list of
+    :class:`StaticsSolution` (host loop — each step jits once and reuses).
+    """
+    tip_forces = jnp.asarray(tip_forces)
+    if tip_moments is None:
+        tip_moments = jnp.zeros_like(tip_forces)
+    sols = []
+    qe = qe0
+    for i in range(tip_forces.shape[0]):
+        sol = solve_statics(tip_forces[i], tip_moments[i], cfg, qe0=qe,
+                            **newton_kwargs)
+        sols.append(sol)
+        qe = sol.qe
+    return sols

@@ -34,6 +34,7 @@ __all__ = [
     "diff_matrix",
     "split_endpoint",
     "integration_matrix",
+    "clenshaw_curtis_weights",
 ]
 
 
@@ -118,3 +119,27 @@ def integration_matrix(n: int, length: float = 1.0, known: str = "last") -> np.n
     d_nn, _ = split_endpoint(diff_matrix(n, length), known)
     m = d_nn.shape[0]
     return np.linalg.solve(d_nn, np.eye(m))
+
+
+@functools.lru_cache(maxsize=None)
+def clenshaw_curtis_weights(n: int, length: float = 1.0) -> np.ndarray:
+    """Clenshaw–Curtis quadrature weights on the descending CGL grid.
+
+    ``sum_j w_j f(x_j) = int_0^L f`` exactly for polynomials of degree
+    ``<= n-1``.  Not present in the reference (it never integrates), but
+    required by the Cosserat-statics weak form ``K_ee = int Phi^T H Phi``
+    (rod_modeling.pdf eq. 2.14).  Computed by solving the Chebyshev-basis
+    Vandermonde moment system ``V^T w = m`` (V is a cosine matrix, well
+    conditioned) in host f64.
+    """
+    x = cgl_points(n)  # on [0,1], descending
+    t = 2.0 * x - 1.0  # to [-1,1]
+    k = np.arange(n)
+    # V[j, k] = T_k(t_j) = cos(k * arccos(t_j))
+    v = np.cos(np.outer(np.arccos(np.clip(t, -1.0, 1.0)), k))
+    # int_{-1}^{1} T_k dt = 2/(1-k^2) for even k, 0 for odd k.
+    moments = np.zeros(n)
+    even = k[k % 2 == 0]
+    moments[even] = 2.0 / (1.0 - even.astype(np.float64) ** 2)
+    w = np.linalg.solve(v.T, moments)
+    return w * (float(length) / 2.0)

@@ -1,0 +1,110 @@
+"""Cosserat statics BVP: physical gates + Newton convergence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+    cosserat,
+    rod,
+)
+
+CFG16 = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+CFG32 = cosserat.StaticsConfig(rod=rod.RodConfig(n=32))
+
+
+def test_zero_load_zero_strain():
+    sol = cosserat.solve_statics(jnp.zeros(3), cfg=CFG16)
+    assert bool(sol.converged)
+    np.testing.assert_allclose(np.asarray(sol.qe), np.zeros(9), atol=1e-9)
+
+
+def test_pure_tip_moment_constant_curvature():
+    """Tip couple M_y: internal moment is uniform -> kappa_y = M/EI exactly,
+    i.e. only the (component y, mode P0) coefficient is non-zero."""
+    m = 0.8
+    sol = cosserat.solve_statics(
+        jnp.zeros(3), tip_moment=jnp.asarray([0.0, m, 0.0]), cfg=CFG16,
+    )
+    assert bool(sol.converged)
+    qe = np.asarray(sol.qe)
+    expected = np.zeros(9)
+    expected[3] = m  # component a=1 (kappa_y), mode e=0, H=1
+    np.testing.assert_allclose(qe, expected, atol=1e-6)
+
+
+def test_small_force_matches_linear_beam_theory():
+    """Tip force F_z << EI/L^2: Euler-Bernoulli tip deflection F L^3 / (3 EI)."""
+    f = 1e-3
+    sol = cosserat.solve_statics(jnp.asarray([0.0, 0.0, f]), cfg=CFG16)
+    assert bool(sol.converged)
+    shape = rod.rod_shape(sol.qe, cfg=CFG16.rod, method="picard")
+    tip_dz = float(shape.tip_position[2])
+    assert tip_dz == pytest.approx(f / 3.0, rel=2e-3)
+
+
+def test_moderate_force_grid_convergence():
+    """N=16 and N=32 must agree (spectral convergence of the BVP)."""
+    f = jnp.asarray([0.0, 0.0, 0.5])
+    qe16 = np.asarray(cosserat.solve_statics(f, cfg=CFG16).qe)
+    qe32 = np.asarray(cosserat.solve_statics(f, cfg=CFG32).qe)
+    np.testing.assert_allclose(qe16, qe32, atol=1e-6)
+
+
+def test_residual_vanishes_at_solution():
+    f = jnp.asarray([0.1, 0.0, 0.4])
+    sol = cosserat.solve_statics(f, cfg=CFG16)
+    res = cosserat.equilibrium_residual(sol.qe, f, jnp.zeros(3), CFG16)
+    assert float(jnp.linalg.norm(res)) < 1e-8
+
+
+def test_load_continuation_large_deflection():
+    """Continuation to alpha = F L^2 / EI = 3 (strongly nonlinear elastica).
+
+    Tip positions cross-checked against the classic Bisshopp–Drucker
+    elastica solution regime: deflection is large but the rod does not
+    self-intersect; x_tip shrinks monotonically with load."""
+    loads = jnp.asarray([[0, 0, 0.5], [0, 0, 1.0], [0, 0, 2.0], [0, 0, 3.0]])
+    sols = cosserat.load_continuation(loads, cfg=CFG32)
+    assert all(bool(s.converged) for s in sols)
+    tips = [
+        np.asarray(rod.rod_shape(s.qe, cfg=CFG32.rod, method="picard").tip_position)
+        for s in sols
+    ]
+    xs = [t[0] for t in tips]
+    zs = [t[2] for t in tips]
+    assert all(xs[i + 1] < xs[i] for i in range(3)), "x_tip must shrink with load"
+    assert all(zs[i + 1] > zs[i] for i in range(3)), "z_tip must grow with load"
+    # Bisshopp–Drucker: at alpha = F L^2 / EI = 3, delta/L ~ 0.6; loose gate.
+    assert 0.4 < zs[-1] < 0.75
+    assert 0.5 < xs[-1] < 0.85
+
+
+def test_statics_vmap_over_loads():
+    loads = jnp.asarray([[0.0, 0.0, 0.2], [0.0, 0.1, 0.3], [0.05, 0.0, 0.1]])
+    vsol = jax.vmap(lambda f: cosserat.solve_statics(f, cfg=CFG16))(loads)
+    assert vsol.qe.shape == (3, 9)
+    for i in range(3):
+        single = cosserat.solve_statics(loads[i], cfg=CFG16)
+        np.testing.assert_allclose(np.asarray(vsol.qe[i]), np.asarray(single.qe),
+                                   atol=1e-7)
+
+
+def test_intrinsic_curvature_rest_state():
+    """With kappa0 = qe and no load, qe = kappa0 is the equilibrium."""
+    kappa0 = np.zeros(9)
+    kappa0[3] = 1.2
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16), kappa0=tuple(kappa0))
+    sol = cosserat.solve_statics(jnp.zeros(3), cfg=cfg, qe0=jnp.asarray(kappa0))
+    assert bool(sol.converged)
+    np.testing.assert_allclose(np.asarray(sol.qe), kappa0, atol=1e-7)
+
+
+def test_stiffness_scaling():
+    """Doubling EI halves the curvature response to a tip moment."""
+    m = jnp.asarray([0.0, 0.5, 0.0])
+    cfg2 = cosserat.StaticsConfig(rod=rod.RodConfig(n=16), stiffness=(2.0, 2.0, 2.0))
+    qe1 = np.asarray(cosserat.solve_statics(jnp.zeros(3), m, CFG16).qe)
+    qe2 = np.asarray(cosserat.solve_statics(jnp.zeros(3), m, cfg2).qe)
+    np.testing.assert_allclose(qe2, qe1 / 2.0, atol=1e-7)
