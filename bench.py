@@ -63,6 +63,23 @@ def main():
         np.max(np.abs(sol.positions_f64() - r_ref)) / np.max(np.abs(r_ref))
     )
 
+    # Native C++ CPU baseline (reference algorithm, OpenMP threads).
+    cpu_baseline = None
+    try:
+        import subprocess
+        from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils import (
+            native_oracle,
+        )
+
+        if native_oracle.is_available():
+            out = subprocess.run(
+                [str(native_oracle.bench_path()), "16384", "16", "3"],
+                capture_output=True, text=True, timeout=300, check=True,
+            )
+            cpu_baseline = json.loads(out.stdout.strip())
+    except Exception:
+        pass
+
     value = batch / dt_refined
     print(json.dumps({
         "metric": "batched N=16 rod-kinematics spectral solves/sec (refined, <=1e-8 path)",
@@ -76,6 +93,7 @@ def main():
             "refined_ms_per_batch": round(dt_refined * 1e3, 3),
             "rel_linf_error_vs_f64_reference": rel_err,
             "accuracy_gate_1e-8": rel_err <= 1e-8,
+            "cpu_reference_baseline": cpu_baseline,
         },
     }))
 
