@@ -55,6 +55,16 @@ def main():
     dt_refined = _measure(jax.jit(refined_step), qes)
     dt_picard = _measure(jax.jit(picard_step), qes)
 
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
+        rod_kernel,
+    )
+
+    def fused_step(q):
+        qk, rk = rod_kernel.rod_shape_fused(q, cfg=cfg)
+        return jnp.sum(qk) + jnp.sum(rk)
+
+    dt_fused = _measure(jax.jit(fused_step), qes)
+
     # Inline accuracy gate vs the f64 algorithm-exact oracle (demo strain).
     qe_dd = rod.split_strain(oracle.demo_qe())
     sol = rod.rod_shape(qe_dd, cfg=cfg, method="refined")
@@ -90,6 +100,7 @@ def main():
             "device": str(jax.devices()[0]),
             "batch": batch,
             "picard_f32_solves_per_sec": round(batch / dt_picard, 1),
+            "pallas_fused_f32_solves_per_sec": round(batch / dt_fused, 1),
             "refined_ms_per_batch": round(dt_refined * 1e3, 3),
             "rel_linf_error_vs_f64_reference": rel_err,
             "accuracy_gate_1e-8": rel_err <= 1e-8,

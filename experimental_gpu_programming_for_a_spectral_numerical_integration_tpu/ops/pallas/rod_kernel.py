@@ -1,0 +1,236 @@
+"""Fused Pallas TPU kernel for the batched rod-kinematics solve.
+
+The XLA-composed Picard path (ops/collocation.py) re-materializes the
+``(B, n-1, 4)`` state in HBM on every one of its ~20 iterations, so at large
+batch it is HBM-bandwidth-bound (~14.6M solves/s measured on v5e).  This
+kernel fuses the ENTIRE per-rod pipeline —
+
+    qe -> K = Phi qe -> Picard iterations of (I (x) Dn_NN - 1/2 A_hat) chi = rhs
+       -> unnormalized tangent b(Q) -> position quadrature Dn_NN r = b - ivp
+
+— into one ``pallas_call``: each batch tile's state lives in VMEM for the
+whole solve; HBM sees only ``qe`` in and ``(Q, r)`` out.
+
+Layout (the part that makes it fast):
+
+* The per-rod state is 4 quaternion components x (n-1) points.  Points are
+  padded to 16 and **two rods are stacked**, giving a 2x4x16 = 128-row
+  column — exactly the MXU/VPU sublane width.  State tile:
+  ``(128, B_t/2)`` with rods riding the lanes.
+* The constant Picard preconditioner ``G = Dn_NN^{-1}`` (with the ODE's 1/2
+  folded in) becomes ONE dense 128x128 weight ``W = I_8 (x) (G~/2)``
+  (G~ = G zero-padded to 16): the whole iteration's linear part is a single
+  fully-packed MXU matmul ``W @ t`` streaming ``B_t/2`` columns — ~88% MAC
+  utilization vs ~1.4% for a naive (15,15) matmul.
+* The per-point operator ``A(K)`` (`/root/reference/main.cpp:72-75`) is
+  never materialized: its action is 12 VPU multiply-adds on aligned
+  ``(16, B_t/2)`` sublane slices of the state — slicing at multiples of 16
+  keeps every access tile-aligned.
+* ``K`` comes straight off the input layout: ``qe`` arrives pre-transposed
+  ``(9, B)`` so ``K_a = P~ @ qe_a`` is three tiny matmuls producing
+  ``(16, B_t)`` in exactly the sublane-point/lane-rod orientation the
+  elementwise stage needs.  No transposes anywhere in the kernel.
+
+Precision: TPU MXU truncates f32 operands to bf16 per pass.  ``precision``
+selects the pass count ('default' 1x / 'float32' 3x / 'highest' 6x).  The
+Picard fixed point inherits the per-iteration matmul error, so 'float32'
+(3-pass, ~2^-21 per product) is the default — it matches the XLA f32 path
+to ~1e-6 while keeping the MXU cost at 3 streamed passes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models import rod as rod_model
+
+__all__ = ["rod_shape_fused", "DEFAULT_TILE"]
+
+# Measured on v5e (B=131072): tile=2048 -> 59M solves/s ('high') / 46M
+# ('highest'); tile=1024 hits a Mosaic pathology (~3 orders slower) and
+# tile=4096 blows up compile time.  Keep 2048.
+DEFAULT_TILE = 2048
+_PTS_PAD = 16  # points padded to one sublane tile
+
+
+def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
+            iters, ne, precision):
+    bt = qe_ref.shape[1]          # rods per tile
+    half = bt // 2                # columns of the packed state
+    f32 = jnp.float32
+    P = _PTS_PAD
+
+    dims = (((1,), (0,)), ((), ()))
+
+    if precision == "high":
+        # Manual bf16x3: Mosaic dot supports only DEFAULT (1x bf16) and
+        # HIGHEST (6x); emulate the missing 3-pass f32-class product with
+        # error-split operands: a b ~ hi hi + hi lo + lo hi.
+        def mm(a, b):
+            a16 = a.astype(jnp.bfloat16)
+            b16 = b.astype(jnp.bfloat16)
+            a_err = (a - a16.astype(f32)).astype(jnp.bfloat16)
+            b_err = (b - b16.astype(f32)).astype(jnp.bfloat16)
+
+            def d(x, y):
+                return jax.lax.dot_general(
+                    x, y, dimension_numbers=dims,
+                    preferred_element_type=f32,
+                )
+
+            return d(a16, b16) + d(a16, b_err) + d(a_err, b16)
+    else:
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dims,
+                preferred_element_type=f32, precision=precision,
+            )
+
+    # K_a = P~ @ qe_a : (16, ne) @ (ne, B_t) -> (16, B_t); the lane/sublane
+    # orientation matches the packed state directly.
+    p = ptab_ref[:, :]
+    k = [mm(p, qe_ref[a * ne:(a + 1) * ne, :]) for a in range(3)]
+    # Per packed half h (rows h*64 + c*16), rods are columns
+    # [h*half:(h+1)*half) of the K arrays.
+    kh = [[ki[:, h * half:(h + 1) * half] for ki in k] for h in range(2)]
+
+    w = w_ref[:, :]               # (128, 128) = I8 (x) (G~ / 2)
+    g_rhs = g_rhs_ref[:, :]       # (128, 1) broadcasts over lanes
+
+    def a_apply(s):
+        """t = A(K) s on the packed state (128, half)."""
+        blocks = []
+        for h in range(2):
+            k0, k1, k2 = kh[h]
+            o = h * 4 * P
+            sw = s[o + 0 * P:o + 1 * P, :]
+            sx = s[o + 1 * P:o + 2 * P, :]
+            sy = s[o + 2 * P:o + 3 * P, :]
+            sz = s[o + 3 * P:o + 4 * P, :]
+            blocks += [
+                -k0 * sx - k1 * sy - k2 * sz,
+                k0 * sw + k2 * sy - k1 * sz,
+                k1 * sw - k2 * sx + k0 * sz,
+                k2 * sw + k1 * sx - k0 * sy,
+            ]
+        return jnp.concatenate(blocks, axis=0)
+
+    # Picard: s <- g_rhs + W t, W already carries the ODE's 1/2 and G.
+    s = jnp.broadcast_to(g_rhs, (8 * P, half))
+    for _ in range(iters):
+        s = g_rhs + mm(w, a_apply(s))
+    q_out_ref[:, :] = s
+
+    # Position: tangent scaled by 2 so the same W (= I8 (x) G~/2) integrates
+    # it; component block 3 is unused (zeros).
+    blocks = []
+    for h in range(2):
+        o = h * 4 * P
+        sw = s[o + 0 * P:o + 1 * P, :]
+        sx = s[o + 1 * P:o + 2 * P, :]
+        sy = s[o + 2 * P:o + 3 * P, :]
+        sz = s[o + 3 * P:o + 4 * P, :]
+        blocks += [
+            2.0 - 4.0 * (sy * sy + sz * sz),
+            4.0 * (sx * sy + sw * sz),
+            4.0 * (sx * sz - sw * sy),
+            jnp.zeros_like(sw),
+        ]
+    r_out_ref[:, :] = mm(w, jnp.concatenate(blocks, axis=0))
+
+
+def _constants(cfg: rod_model.RodConfig, precision_tag):
+    grid = cfg.grid
+    npts = grid.num_unknown
+    P = _PTS_PAD
+    if npts > P:
+        raise ValueError(
+            f"fused kernel supports n-1 <= {P} points (got {npts}); "
+            "use the XLA path for larger grids"
+        )
+    g_pad = np.zeros((P, P), np.float64)
+    g_pad[:npts, :npts] = grid.ginv
+    w = np.kron(np.eye(8), 0.5 * g_pad).astype(np.float32)      # (128, 128)
+    ptab = np.zeros((P, cfg.ne), np.float32)
+    ptab[:npts] = cfg.basis_table.astype(np.float32)
+    # g_rhs = (I (x) G)(-dn_in * q0), q0 = (1,0,0,0): only w-blocks non-zero.
+    gvec = -(grid.ginv @ grid.dn_in)
+    g_rhs = np.zeros((8 * P, 1), np.float32)
+    for h in range(2):
+        g_rhs[h * 4 * P:h * 4 * P + npts, 0] = gvec
+    return w, ptab, g_rhs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "iters", "tile", "precision", "interpret")
+)
+def rod_shape_fused(qes, cfg: rod_model.RodConfig = rod_model.RodConfig(),
+                    iters: int = 20, tile: int = DEFAULT_TILE,
+                    precision: str = "float32", interpret: bool = False):
+    """Batched fused rod solve: ``qes (B, na*ne) -> (Q (B, n-1, 4), r (B, n-1, 3))``.
+
+    Semantics identical to ``rod_shape(..., method='picard')`` with
+    ``q_init = (1,0,0,0)``, ``r_init = 0`` (the reference demo's boundary
+    conditions, `main.cpp:106-154`); f32 storage, MXU pass count set by
+    ``precision``.  ``B`` is padded to a multiple of ``tile`` internally.
+    """
+    qes = jnp.asarray(qes, jnp.float32)
+    b = qes.shape[0]
+    grid = cfg.grid
+    npts = grid.num_unknown
+    P = _PTS_PAD
+
+    b_pad = -(-b // tile) * tile
+    if b_pad != b:
+        qes = jnp.pad(qes, ((0, b_pad - b), (0, 0)))
+    n_tiles = b_pad // tile
+    half = tile // 2
+
+    w, ptab, g_rhs = _constants(cfg, precision)
+    # TPU MXU pass count: 'default'=1x bf16, 'high'=3x emulated (f32-class
+    # products), 'highest'=6x full f32.  'high' is the accuracy/speed spot.
+    prec = {"float32": "high",
+            "high": "high",
+            "default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
+    kernel = functools.partial(_kernel, iters=iters, ne=cfg.ne, precision=prec)
+    q_out, r_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((cfg.na * cfg.ne, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * P, 8 * P), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, cfg.ne), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * P, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8 * P, half), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * P, half), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8 * P, n_tiles * half), jnp.float32),
+            jax.ShapeDtypeStruct((8 * P, n_tiles * half), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qes.T, jnp.asarray(w), jnp.asarray(ptab), jnp.asarray(g_rhs))
+
+    # (128, n_tiles*half) packed -> (B, npts, comp).
+    def unpack(out, comp):
+        t = out.reshape(2, 4, P, n_tiles, half)          # (half_idx, c, i, tile, col)
+        t = jnp.transpose(t, (3, 0, 4, 2, 1))            # (tile, half_idx, col, i, c)
+        t = t.reshape(b_pad, P, 4)
+        return t[:b, :npts, :comp]
+
+    return unpack(q_out, 4), unpack(r_out, 3)

@@ -1,0 +1,78 @@
+"""Fused Pallas kernel vs the XLA reference path (interpret mode on CPU).
+
+Hardware-mode numerics are exercised by bench.py / scripts on the real chip
+(measured there: 'high' ~9e-6 vs the XLA f32 path, 'highest' ~2e-7).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import rod
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
+    rod_kernel,
+)
+
+
+def _ref(qes, iters=20):
+    return rod.rod_shape(qes, method="picard", iters=iters)
+
+
+def test_fused_matches_picard():
+    rng = np.random.default_rng(0)
+    qes = jnp.asarray(rng.standard_normal((512, 9)), jnp.float32)
+    ref = _ref(qes)
+    # 'highest' = full f32 MXU passes; 'high' = emulated bf16x3 (~1e-5).
+    for prec, tol in (("highest", 2e-6), ("high", 5e-5)):
+        q, r = rod_kernel.rod_shape_fused(qes, tile=256, interpret=True,
+                                          precision=prec)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(ref.quaternions),
+                                   atol=tol)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
+                                   atol=tol)
+
+
+def test_fused_ragged_batch_padding():
+    """Batch not a multiple of the tile: padding must not leak."""
+    rng = np.random.default_rng(1)
+    qes = jnp.asarray(rng.standard_normal((300, 9)), jnp.float32)
+    q, r = rod_kernel.rod_shape_fused(qes, tile=256, interpret=True)
+    assert q.shape == (300, 15, 4)
+    assert r.shape == (300, 15, 3)
+    ref = _ref(qes)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
+                               atol=5e-5)
+
+
+def test_fused_demo_strain_golden():
+    qe = rod.demo_qe()[None, :].repeat(256, axis=0)
+    q, r = rod_kernel.rod_shape_fused(qe, tile=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(r[0, 0]), [0.562673, 0.0, -0.745914], atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(q[0, 0]), [0.799770, 0.0, 0.600307, 0.0], atol=5e-6
+    )
+
+
+def test_fused_rod_packing_independence():
+    """Rods must not bleed into their packed partner (2 rods share a column
+    block): solve a batch where adjacent rods differ wildly."""
+    rng = np.random.default_rng(2)
+    qes = np.zeros((256, 9), np.float32)
+    qes[::2] = rng.standard_normal((128, 9)) * 3.0  # big strains even rods
+    # odd rods zero strain -> straight rods
+    q, r = rod_kernel.rod_shape_fused(jnp.asarray(qes), tile=256, interpret=True)
+    x_grid = rod.RodConfig().points[:-1]
+    straight = np.stack([x_grid, 0 * x_grid, 0 * x_grid], axis=-1)
+    np.testing.assert_allclose(np.asarray(r[1::2]),
+                               np.broadcast_to(straight, (128, 15, 3)),
+                               atol=2e-6)
+
+
+def test_fused_large_n_rejected():
+    with pytest.raises(ValueError, match="n-1 <= 16"):
+        rod_kernel.rod_shape_fused(
+            jnp.zeros((4, 9), jnp.float32), cfg=rod.RodConfig(n=32),
+            interpret=True,
+        )
