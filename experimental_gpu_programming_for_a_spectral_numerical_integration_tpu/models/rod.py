@@ -260,6 +260,57 @@ class RodSolution:
         return self.positions[..., 0, :]
 
 
+def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
+                            refine_steps: int = 2, tile: int = None,
+                            precision: str = "high") -> RodSolution:
+    """Fastest accuracy-gated path: Pallas-fused f32 solves + double-word IR.
+
+    The base solve and every refinement correction run in the fused VMEM
+    kernel (ops/pallas/rod_kernel.py); only the cheap double-word residual
+    and the position quadrature run as XLA ops.  Boundary conditions are the
+    reference demo's (``q0 = (1,0,0,0)``, ``r0 = 0``, `main.cpp:106-154`).
+    Accuracy equals the XLA 'refined' path (~1e-13 rel); throughput is set
+    by the kernel.  ``qe`` may be a dd pair from :func:`split_strain`.
+    """
+    from ..ops.pallas import rod_kernel as rk
+
+    kw = {} if tile is None else {"tile": tile}
+    grid = cfg.grid
+    qe_hi, _ = _as_dd_input(qe)
+
+    x_hi, _ = rk.rod_shape_fused(qe_hi, cfg=cfg, iters=iters,
+                                 precision=precision, **kw)
+    x_lo = jnp.zeros_like(x_hi)
+
+    k_dd = _curvature_dd(cfg, qe)
+    dn_in_hi, dn_in_lo = grid.dn_in_dd
+    q0 = jnp.asarray(DEFAULT_Q_INIT, jnp.float32)
+    rhs_hi, rhs_lo = dd.dd_scale(
+        *dd.dd_mul_f32(
+            jnp.asarray(dn_in_hi)[:, None], jnp.asarray(dn_in_lo)[:, None],
+            jnp.broadcast_to(q0, qe_hi.shape[:-1] + (1, 4)),
+        ),
+        -1.0,
+    )
+    for _ in range(refine_steps):
+        r_hi, r_lo = coll.residual_quat_dd(grid, k_dd, x_hi, x_lo,
+                                           rhs_hi, rhs_lo)
+        delta = rk.picard_correction_fused(qe_hi, r_hi + r_lo, cfg=cfg,
+                                           iters=iters, precision=precision,
+                                           **kw)
+        x_hi, x_lo = dd.dd_add(x_hi, x_lo, delta, jnp.zeros_like(delta))
+
+    b_hi, b_lo = _tangent_dd(x_hi, x_lo)
+    r_hi, r_lo = coll.quadrature_refined(grid, (b_hi, b_lo),
+                                         refine_steps=max(1, refine_steps))
+    return RodSolution(
+        quaternions=x_hi + x_lo,
+        positions=r_hi + r_lo,
+        quaternions_dd=(x_hi, x_lo),
+        positions_dd=(r_hi, r_lo),
+    )
+
+
 def rod_shape(qe, q_init=None, r_init=None, cfg: RodConfig = RodConfig(),
               method: str = "refined", iters: int = 24, refine_steps: int = 2,
               normalize_quaternions: bool = False) -> RodSolution:

@@ -68,6 +68,7 @@ __all__ = [
     "solve_ivp_refined",
     "quadrature_refined",
     "residual_dd",
+    "residual_quat_dd",
 ]
 
 
@@ -252,6 +253,63 @@ def residual_dd(grid: SpectralGrid, m_dd, x_hi, x_lo, rhs_hi, rhs_lo):
         mx_hi, mx_lo = dd.dd_contract_axis(a_hi, a_lo, b_hi, b_lo, d)
         r_hi, r_lo = dd.dd_add(r_hi, r_lo, mx_hi, mx_lo)
     return r_hi, r_lo
+
+
+def residual_quat_dd(grid: SpectralGrid, k_dd, x_hi, x_lo, rhs_hi, rhs_lo):
+    """Rod-specialized double-word residual, ~2x cheaper than
+    :func:`residual_dd`.
+
+    Exploits (a) the quaternion structure of ``M = 1/2 A(K)`` — 12 dd
+    products on the 3 curvature components instead of 16 on dense 4x4
+    blocks — and (b) the error budget: only the hi*hi terms need error-free
+    transformations; the cross terms ``Dn_hi x_lo + Dn_lo x_hi`` are
+    ~2^-24-scale, so plain f32 HIGHEST matmuls keep them well below the
+    ~2^-48 target.  ``k_dd``: dd pair ``(..., np, 3)``.
+    """
+    dn_hi, dn_lo = grid.dn_nn_dd
+    dn_hi = jnp.asarray(dn_hi)
+    dn_lo = jnp.asarray(dn_lo)
+    npts = grid.num_unknown
+
+    # (I (x) Dn) x: hi*hi via EFT (unrolled compensated contraction);
+    # cross terms via MXU.
+    acc_hi = jnp.zeros_like(x_hi)
+    acc_lo = jnp.zeros_like(x_hi)
+    for j in range(npts):
+        col = dn_hi[:, j][:, None]                       # (np_i, 1)
+        p, e = dd.two_prod(col, x_hi[..., j, None, :])   # (..., np_i, 4)
+        acc_hi, acc_lo = dd.dd_add(acc_hi, acc_lo, p, e)
+    cross = (
+        jnp.einsum("ij,...jc->...ic", dn_hi, x_lo, precision="highest")
+        + jnp.einsum("ij,...jc->...ic", dn_lo, x_hi, precision="highest")
+    )
+    acc_hi, acc_lo = dd.dd_add_f32(acc_hi, acc_lo, cross)
+    r_hi, r_lo = dd.dd_add(rhs_hi, rhs_lo, -acc_hi, -acc_lo)
+
+    # + 1/2 A(K) x  (fold the 1/2 into K once).
+    k_hi, k_lo = k_dd
+    k_hi = 0.5 * k_hi
+    k_lo = 0.5 * k_lo
+    kc = [(k_hi[..., a], k_lo[..., a]) for a in range(3)]
+    xc = [(x_hi[..., c], x_lo[..., c]) for c in range(4)]
+
+    def p(a, c):  # dd product K_a * x_c
+        return dd.dd_mul(kc[a][0], kc[a][1], xc[c][0], xc[c][1])
+
+    def add3(sign0, t0, sign1, t1, sign2, t2):
+        s_hi, s_lo = dd.dd_scale(*t0, sign0)
+        s_hi, s_lo = dd.dd_add(s_hi, s_lo, *dd.dd_scale(*t1, sign1))
+        return dd.dd_add(s_hi, s_lo, *dd.dd_scale(*t2, sign2))
+
+    rows = [
+        add3(-1.0, p(0, 1), -1.0, p(1, 2), -1.0, p(2, 3)),
+        add3(+1.0, p(0, 0), +1.0, p(2, 2), -1.0, p(1, 3)),
+        add3(+1.0, p(1, 0), -1.0, p(2, 1), +1.0, p(0, 3)),
+        add3(+1.0, p(2, 0), +1.0, p(1, 1), -1.0, p(0, 2)),
+    ]
+    ax_hi = jnp.stack([r[0] for r in rows], axis=-1)
+    ax_lo = jnp.stack([r[1] for r in rows], axis=-1)
+    return dd.dd_add(r_hi, r_lo, ax_hi, ax_lo)
 
 
 def _broadcast4(a_hi, a_lo, b_hi, b_lo):

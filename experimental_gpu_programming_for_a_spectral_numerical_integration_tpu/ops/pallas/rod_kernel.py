@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...models import rod as rod_model
 
-__all__ = ["rod_shape_fused", "DEFAULT_TILE"]
+__all__ = ["rod_shape_fused", "picard_correction_fused", "DEFAULT_TILE"]
 
 # Measured on v5e (B=131072): tile=2048 -> 59M solves/s ('high') / 46M
 # ('highest'); tile=1024 hits a Mosaic pathology (~3 orders slower) and
@@ -143,6 +143,145 @@ def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
             jnp.zeros_like(sw),
         ]
     r_out_ref[:, :] = mm(w, jnp.concatenate(blocks, axis=0))
+
+
+def _corr_kernel(qe_ref, w_ref, ptab_ref, rhs_ref, x_out_ref, *,
+                 iters, ne, precision):
+    """Correction solve: general packed rhs instead of the IVP vector.
+
+    Solves ``(I (x) Dn_NN - 1/2 A_hat) x = rhs`` for iterative refinement:
+    ``g_rhs = (I (x) G) rhs = W (2 rhs)`` (W carries G/2), then the same
+    Picard loop as the main kernel.  Skips the position stage (corrections
+    only feed the quaternion state)."""
+    bt = qe_ref.shape[1]
+    half = bt // 2
+    f32 = jnp.float32
+    P = _PTS_PAD
+    dims = (((1,), (0,)), ((), ()))
+
+    if precision == "high":
+        def mm(a, b):
+            a16 = a.astype(jnp.bfloat16)
+            b16 = b.astype(jnp.bfloat16)
+            a_err = (a - a16.astype(f32)).astype(jnp.bfloat16)
+            b_err = (b - b16.astype(f32)).astype(jnp.bfloat16)
+
+            def d(x, y):
+                return jax.lax.dot_general(
+                    x, y, dimension_numbers=dims, preferred_element_type=f32)
+
+            return d(a16, b16) + d(a16, b_err) + d(a_err, b16)
+    else:
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dims,
+                preferred_element_type=f32, precision=precision)
+
+    p = ptab_ref[:, :]
+    k = [mm(p, qe_ref[a * ne:(a + 1) * ne, :]) for a in range(3)]
+    kh = [[ki[:, h * half:(h + 1) * half] for ki in k] for h in range(2)]
+    w = w_ref[:, :]
+
+    def a_apply(s):
+        blocks = []
+        for h in range(2):
+            k0, k1, k2 = kh[h]
+            o = h * 4 * P
+            sw = s[o + 0 * P:o + 1 * P, :]
+            sx = s[o + 1 * P:o + 2 * P, :]
+            sy = s[o + 2 * P:o + 3 * P, :]
+            sz = s[o + 3 * P:o + 4 * P, :]
+            blocks += [
+                -k0 * sx - k1 * sy - k2 * sz,
+                k0 * sw + k2 * sy - k1 * sz,
+                k1 * sw - k2 * sx + k0 * sz,
+                k2 * sw + k1 * sx - k0 * sy,
+            ]
+        return jnp.concatenate(blocks, axis=0)
+
+    g_rhs = mm(w, 2.0 * rhs_ref[:, :])
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(w, a_apply(s))
+    x_out_ref[:, :] = s
+
+
+def pack_state(x, tile: int = DEFAULT_TILE):
+    """``(B, npts<=16, comp<=4) -> (128, B_pad/2)`` packed layout (inverse of
+    the kernel's unpack); pads batch to ``tile`` and points/components to
+    16/4.  Returns (packed, b_pad)."""
+    b, npts, comp = x.shape
+    P = _PTS_PAD
+    b_pad = -(-b // tile) * tile
+    x = jnp.pad(x, ((0, b_pad - b), (0, P - npts), (0, 4 - comp)))
+    n_tiles = b_pad // tile
+    half = tile // 2
+    t = x.reshape(n_tiles, 2, half, P, 4)       # (tile, h, col, i, c)
+    t = jnp.transpose(t, (1, 4, 3, 0, 2))       # (h, c, i, tile, col)
+    return t.reshape(8 * P, n_tiles * half), b_pad
+
+
+def unpack_state(packed, b: int, npts: int, comp: int, tile: int = DEFAULT_TILE):
+    """Inverse of :func:`pack_state`."""
+    P = _PTS_PAD
+    cols = packed.shape[1]
+    half = tile // 2
+    n_tiles = cols // half
+    t = packed.reshape(2, 4, P, n_tiles, half)
+    t = jnp.transpose(t, (3, 0, 4, 2, 1)).reshape(n_tiles * tile, P, 4)
+    return t[:b, :npts, :comp]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "iters", "tile", "precision", "interpret")
+)
+def picard_correction_fused(qes, rhs, cfg: rod_model.RodConfig = rod_model.RodConfig(),
+                            iters: int = 20, tile: int = DEFAULT_TILE,
+                            precision: str = "float32", interpret: bool = False):
+    """Fused solve of ``(I (x) Dn_NN - 1/2 A_hat(qe)) x = rhs`` per rod.
+
+    ``qes (B, na*ne)``, ``rhs (B, n-1, 4)`` -> ``x (B, n-1, 4)``.  Used as
+    the inner solver of iterative refinement (the residual supplies rhs).
+    """
+    qes = jnp.asarray(qes, jnp.float32)
+    rhs = jnp.asarray(rhs, jnp.float32)
+    b = qes.shape[0]
+    grid = cfg.grid
+    npts = grid.num_unknown
+    P = _PTS_PAD
+
+    b_pad = -(-b // tile) * tile
+    if b_pad != b:
+        qes = jnp.pad(qes, ((0, b_pad - b), (0, 0)))
+    n_tiles = b_pad // tile
+    half = tile // 2
+
+    rhs_packed, _ = pack_state(rhs, tile)
+    w, ptab, _ = _constants(cfg, precision)
+    prec = {"float32": "high", "high": "high",
+            "default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
+    kernel = functools.partial(_corr_kernel, iters=iters, ne=cfg.ne,
+                               precision=prec)
+    x_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((cfg.na * cfg.ne, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * P, 8 * P), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, cfg.ne), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * P, half), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8 * P, half), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8 * P, n_tiles * half), jnp.float32),
+        interpret=interpret,
+    )(qes.T, jnp.asarray(w), jnp.asarray(ptab), rhs_packed)
+    return unpack_state(x_out, b, npts, 4, tile)
 
 
 def _constants(cfg: rod_model.RodConfig, precision_tag):
