@@ -1,0 +1,71 @@
+"""Numerical diagnostics: conditioning, convergence, invariants.
+
+The reference's only observability is matrix dumps to stdout
+(`/root/reference/main.cpp:198,202`); SURVEY.md §5 calls for structured
+diagnostics instead.  Everything here returns plain floats/dicts suitable
+for logging."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import collocation as coll
+from ..models import rod as rod_model
+
+__all__ = [
+    "condition_number",
+    "quaternion_norm_drift",
+    "solution_residual_norm",
+    "convergence_report",
+]
+
+
+def condition_number(qe, cfg: rod_model.RodConfig = rod_model.RodConfig()):
+    """cond_2 of the reduced collocation matrix ``A_NN`` for a strain field
+    (the SURVEY §6 '~186 at N=16' health metric)."""
+    m = rod_model._ode_blocks(rod_model.curvature_at_points(cfg, jnp.asarray(qe)))
+    a = np.asarray(coll.collocation_matrix(cfg.grid, m), np.float64)
+    return float(np.linalg.cond(a))
+
+
+def quaternion_norm_drift(solution: rod_model.RodSolution) -> float:
+    """max | |q| - 1 | along the rod — unit-norm invariant
+    (rod_modeling.pdf eq. A.14; ~1.8e-12 for the f64 demo)."""
+    if solution.quaternions_dd is not None:
+        q = solution.quaternions_f64()
+    else:
+        q = np.asarray(solution.quaternions, np.float64)
+    return float(np.max(np.abs(np.linalg.norm(q, axis=-1) - 1.0)))
+
+
+def solution_residual_norm(qe, solution: rod_model.RodSolution,
+                           cfg: rod_model.RodConfig = rod_model.RodConfig()) -> float:
+    """||A_NN chi - (b - ivp)||_inf of the quaternion solve, in f64."""
+    qe = np.asarray(qe, np.float64)
+    m = rod_model._ode_blocks(
+        rod_model.curvature_at_points(cfg, jnp.asarray(qe))
+    )
+    a = np.asarray(coll.collocation_matrix(cfg.grid, m), np.float64)
+    if solution.quaternions_dd is not None:
+        x = solution.quaternions_f64()
+    else:
+        x = np.asarray(solution.quaternions, np.float64)
+    flat = np.swapaxes(x, -1, -2).reshape(-1)
+    rhs = -np.kron(np.eye(4), cfg.grid.dn_in[:, None]) @ np.array([1.0, 0, 0, 0])
+    return float(np.max(np.abs(a @ flat - rhs)))
+
+
+def convergence_report(qe, ns=(8, 12, 16, 24, 32), n_ref: int = 64,
+                       method: str = "dense") -> dict:
+    """Tip-position error vs an ``n_ref`` self-reference for a strain field —
+    the spectral-accuracy acceptance curve (SURVEY §4d)."""
+    qe = jnp.asarray(qe)
+    ref = rod_model.rod_shape(qe, cfg=rod_model.RodConfig(n=n_ref),
+                              method=method).tip_position
+    out = {}
+    for n in ns:
+        tip = rod_model.rod_shape(qe, cfg=rod_model.RodConfig(n=n),
+                                  method=method).tip_position
+        out[n] = float(jnp.max(jnp.abs(tip - ref)))
+    return out

@@ -1,0 +1,60 @@
+"""Diagnostics + profiling utilities."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import rod
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils import (
+    diagnostics,
+    oracle,
+    profiling,
+)
+
+
+def test_condition_number_matches_survey():
+    cond = diagnostics.condition_number(oracle.demo_qe())
+    assert cond == pytest.approx(186, rel=0.2)
+
+
+def test_quaternion_norm_drift_small():
+    sol = rod.rod_shape(jnp.asarray(oracle.demo_qe()), method="dense")
+    assert diagnostics.quaternion_norm_drift(sol) < 1e-11
+
+
+def test_solution_residual_norm():
+    sol = rod.rod_shape(jnp.asarray(oracle.demo_qe()), method="dense")
+    assert diagnostics.solution_residual_norm(oracle.demo_qe(), sol) < 1e-11
+
+
+def test_convergence_report_decays():
+    rep = diagnostics.convergence_report(jnp.asarray(oracle.demo_qe()),
+                                         ns=(8, 12, 16))
+    assert rep[16] < rep[12] < rep[8]
+    assert rep[16] < 1e-9
+
+
+def test_throughput_rejects_nonscalar():
+    import jax
+
+    f = jax.jit(lambda x: x * 2)
+    with pytest.raises(ValueError, match="scalar"):
+        profiling.throughput(f, jnp.ones(4))
+
+
+def test_throughput_scalar_ok():
+    import jax
+
+    f = jax.jit(lambda x: jnp.sum(x * 2))
+    dt, rate = profiling.throughput(f, jnp.ones(1024), reps=3, items=1024)
+    assert dt > 0
+    assert rate > 0
+
+
+def test_timer_laps():
+    t = profiling.Timer()
+    t.lap("a")
+    t.lap("b")
+    rep = t.report()
+    assert set(rep) == {"a", "b"}
+    assert all(v >= 0 for v in rep.values())

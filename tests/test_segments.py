@@ -1,0 +1,96 @@
+"""Multi-segment rods: junction continuity, global-field equivalence, N=256."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+    ivp,
+    rod,
+    segments,
+)
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils import (
+    oracle,
+)
+
+
+def test_two_segments_match_single_rod_constant_curvature():
+    """Constant curvature: 2x half-length segments == 1 full rod (both equal
+    the quaternion-exponential closed form at the junctions/tip)."""
+    k = np.array([0.0, 2.0, 0.0])
+    qe_const = np.zeros(9)
+    qe_const[3] = 2.0  # kappa_y, mode P0
+    cfg = segments.uniform_segments(2, n=16)
+    seg_qe = jnp.asarray(np.broadcast_to(qe_const, (2, 9)))
+    sol = segments.segmented_rod_shape(seg_qe, cfg, method="dense")
+    # closed form at X = 0.5 and 1.0
+    _, exact_mid = ivp.rotating_frame_ivp(k=tuple(k), n=16, length=1.0)
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import lie
+
+    for X, jq in ((0.5, sol.junction_quaternions[0]),
+                  (1.0, sol.junction_quaternions[1])):
+        theta = np.linalg.norm(k) * X
+        u = k / np.linalg.norm(k)
+        exact = np.array([np.cos(theta / 2), *(u * np.sin(theta / 2))])
+        np.testing.assert_allclose(np.asarray(jq), exact, atol=1e-10)
+
+
+def test_segmented_matches_single_rod_demo_field():
+    """The demo Legendre strain field re-projected onto 4 segments must give
+    the same tip state as the single-rod solve (spectral accuracy)."""
+    qe = oracle.demo_qe()
+    cfg = segments.uniform_segments(4, n=16)
+    seg_qe = segments.project_global_strain(qe, cfg)
+    assert seg_qe.shape == (4, 9)
+    sol = segments.segmented_rod_shape(jnp.asarray(seg_qe), cfg, method="dense")
+    single = rod.rod_shape(jnp.asarray(qe), method="dense")
+    np.testing.assert_allclose(np.asarray(sol.tip_quaternion),
+                               np.asarray(single.tip_quaternion), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sol.tip_position),
+                               np.asarray(single.tip_position), atol=1e-9)
+
+
+def test_junction_continuity_is_exact():
+    rng = np.random.default_rng(0)
+    cfg = segments.uniform_segments(3, n=12)
+    seg_qe = jnp.asarray(rng.standard_normal((3, 9)), jnp.float64)
+    sol = segments.segmented_rod_shape(seg_qe, cfg, method="dense")
+    # Segment s+1's implied base state equals segment s's tip by chaining;
+    # verify the recorded junction trace is consistent with segment tips.
+    for s in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(sol.junction_quaternions[s]),
+            np.asarray(sol.quaternions[s][0]),
+        )
+
+
+def test_segmented_batched_vmap():
+    rng = np.random.default_rng(1)
+    cfg = segments.uniform_segments(2, n=8)
+    seg_qe = jnp.asarray(rng.standard_normal((5, 2, 9)), jnp.float32)
+    sol = segments.segmented_rod_shape(seg_qe, cfg, method="picard")
+    assert sol.junction_positions.shape == (5, 2, 3)
+    single = segments.segmented_rod_shape(seg_qe[2], cfg, method="picard")
+    np.testing.assert_allclose(np.asarray(sol.tip_position[2]),
+                               np.asarray(single.tip_position), atol=1e-5)
+
+
+def test_high_order_n256():
+    """N=256 high-order solve: matches the N=16 solution of the demo field
+    (both spectrally converged) and the f64 oracle at N=256."""
+    qe = oracle.demo_qe()
+    sol = segments.high_order_shape(jnp.asarray(qe), n=256, method="dense")
+    single16 = rod.rod_shape(jnp.asarray(qe), method="dense")
+    np.testing.assert_allclose(np.asarray(sol.tip_position),
+                               np.asarray(single16.tip_position), atol=1e-9)
+    q_ref, r_ref = oracle.integrate_position(qe, n=256)
+    np.testing.assert_allclose(np.asarray(sol.positions), r_ref, atol=1e-8)
+
+
+def test_high_order_picard_converges():
+    qe = oracle.demo_qe()
+    dense = segments.high_order_shape(jnp.asarray(qe), n=64, method="dense")
+    pic = segments.high_order_shape(jnp.asarray(qe), n=64, method="picard",
+                                    iters=48)
+    np.testing.assert_allclose(np.asarray(pic.positions),
+                               np.asarray(dense.positions), atol=1e-9)
