@@ -168,10 +168,10 @@ def quaternion_kinematics(qe, q_init=None, cfg: RodConfig = RodConfig(),
     )
 
     if method == "dense":
-        m = _ode_blocks(curvature_at_points(cfg, qe_arr))
+        m = _ode_blocks(curvature_at_points(cfg, qe_arr)[..., :3])
         return coll.solve_ivp_dense(grid, m, q_init)
     if method == "picard":
-        m = _ode_blocks(curvature_at_points(cfg, qe_arr))
+        m = _ode_blocks(curvature_at_points(cfg, qe_arr)[..., :3])
         return coll.solve_ivp_picard(grid, m, q_init, iters=iters)
     if method == "refined":
         k_hi, k_lo = _curvature_dd(cfg, qe)
@@ -319,6 +319,12 @@ def rod_shape(qe, q_init=None, r_init=None, cfg: RodConfig = RodConfig(),
     ≙ ``integratePosition()`` (`main.cpp:145-176`) but computing the
     quaternion solve once (the reference runs it twice, `main.cpp:147`) and
     solving ``Dn_NN r = b - ivp`` instead of inverting (`main.cpp:159`).
+
+    **6-DoF Reissner strains** (``cfg.na == 6``, methods 'picard'/'dense'):
+    the strain field is ``(kappa, gamma)`` — curvature plus shear/extension,
+    the extension the reference's dead ``ad()`` signals (`utilities.h:27-37`,
+    SURVEY.md §2 #4).  The quaternion ODE uses ``kappa``; the centerline
+    integrates ``r' = R(q) (e1 + gamma)`` instead of the Kirchhoff tangent.
     """
     qe_arr = jnp.asarray(qe[0] if isinstance(qe, tuple) else qe)
     grid = cfg.grid
@@ -327,6 +333,11 @@ def rod_shape(qe, q_init=None, r_init=None, cfg: RodConfig = RodConfig(),
     r_init = jnp.asarray(r_init, qe_arr.dtype)
 
     if method == "refined":
+        if cfg.na == 6:
+            raise NotImplementedError(
+                "6-DoF strains: use method='picard' or 'dense' (the refined "
+                "double-word path currently covers the Kirchhoff na=3 case)"
+            )
         q_hi, q_lo = quaternion_kinematics(
             qe, q_init, cfg, method="refined", iters=iters,
             refine_steps=refine_steps, return_dd=True,
@@ -351,7 +362,12 @@ def rod_shape(qe, q_init=None, r_init=None, cfg: RodConfig = RodConfig(),
 
     q = quaternion_kinematics(qe_arr, q_init, cfg, method=method, iters=iters)
     qq = lie.quat_normalize(q) if normalize_quaternions else q
-    b = lie.quat_tangent(qq)
+    if cfg.na == 6:
+        gamma = curvature_at_points(cfg, qe_arr)[..., 3:]
+        e1 = jnp.asarray([1.0, 0.0, 0.0], qq.dtype)
+        b = jnp.einsum("...ij,...j->...i", lie.quat_to_rot(qq), e1 + gamma)
+    else:
+        b = lie.quat_tangent(qq)
     rhs = coll.ivp_rhs(grid, jnp.broadcast_to(r_init, qe_arr.shape[:-1] + (3,)), g=b)
     if method == "dense":
         dn_nn = jnp.asarray(grid.dn_nn, qe_arr.dtype)
