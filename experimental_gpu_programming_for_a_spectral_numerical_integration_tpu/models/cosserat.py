@@ -188,16 +188,23 @@ def load_continuation(tip_forces, tip_moments=None,
     previous converged strain (BASELINE config #5 continuation pattern).
 
     ``tip_forces``: ``(num_steps, 3)``; returns a list of
-    :class:`StaticsSolution` (host loop — each step jits once and reuses).
+    :class:`StaticsSolution`.  The Newton solve is jitted ONCE with the load
+    and warm start as arguments and reused across the whole schedule.
     """
     tip_forces = jnp.asarray(tip_forces)
     if tip_moments is None:
         tip_moments = jnp.zeros_like(tip_forces)
+    nq = cfg.rod.na * cfg.rod.ne
+    if qe0 is None:
+        qe0 = jnp.zeros(tip_forces.shape[1:-1] + (nq,), tip_forces.dtype)
+
+    step = jax.jit(
+        lambda f, m, q0: solve_statics(f, m, cfg, qe0=q0, **newton_kwargs)
+    )
     sols = []
-    qe = qe0
+    qe = jnp.asarray(qe0, tip_forces.dtype)
     for i in range(tip_forces.shape[0]):
-        sol = solve_statics(tip_forces[i], tip_moments[i], cfg, qe0=qe,
-                            **newton_kwargs)
+        sol = step(tip_forces[i], tip_moments[i], qe)
         sols.append(sol)
         qe = sol.qe
     return sols
