@@ -14,7 +14,7 @@ Suggested import alias::
 """
 
 from .ops import chebyshev, basis, lie, collocation, doubledouble
-from .ops.chebyshev import cgl_points, diff_matrix
+from .ops.chebyshev import cgl_points, diff_matrix, clenshaw_curtis_weights
 from .ops.collocation import (
     SpectralGrid,
     make_grid,
@@ -22,7 +22,16 @@ from .ops.collocation import (
     solve_ivp_picard,
     solve_ivp_refined,
 )
-from .models.rod import RodConfig, RodSolution, rod_shape, quaternion_kinematics, demo_qe
+from .models.rod import (
+    RodConfig,
+    RodSolution,
+    rod_shape,
+    rod_shape_refined_fused,
+    quaternion_kinematics,
+    split_strain,
+    demo_qe,
+)
+from .models import ivp, cosserat, segments, calibration
 
 __version__ = "0.1.0"
 
@@ -34,6 +43,7 @@ __all__ = [
     "doubledouble",
     "cgl_points",
     "diff_matrix",
+    "clenshaw_curtis_weights",
     "SpectralGrid",
     "make_grid",
     "solve_ivp_dense",
@@ -42,6 +52,12 @@ __all__ = [
     "RodConfig",
     "RodSolution",
     "rod_shape",
+    "rod_shape_refined_fused",
     "quaternion_kinematics",
+    "split_strain",
     "demo_qe",
+    "ivp",
+    "cosserat",
+    "segments",
+    "calibration",
 ]

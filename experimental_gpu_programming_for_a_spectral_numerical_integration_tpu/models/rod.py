@@ -43,6 +43,8 @@ __all__ = [
     "curvature_at_points",
     "quaternion_kinematics",
     "rod_shape",
+    "rod_shape_refined_fused",
+    "split_strain",
     "RodSolution",
 ]
 
