@@ -164,19 +164,23 @@ def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
         return equilibrium_residual(qe, tip_force, tip_moment, cfg, iters)
 
     def cond(state):
-        qe, k, rnorm = state
-        return jnp.logical_and(k < max_iter, rnorm > tol)
+        _, k, res = state
+        return jnp.logical_and(k < max_iter, jnp.linalg.norm(res, axis=-1) > tol)
 
     def body(state):
-        qe, k, _ = state
-        res = residual(qe)
+        qe, k, res = state
+        # One forward pass for the Jacobian; the residual is carried in the
+        # loop state (computed once per iterate, not thrice).
         jac = jax.jacfwd(residual)(qe)
         step = jnp.linalg.solve(jac, res[..., None])[..., 0]
         qe = qe - damping * step
-        return qe, k + 1, jnp.linalg.norm(residual(qe), axis=-1)
+        return qe, k + 1, residual(qe)
 
-    r0 = jnp.linalg.norm(residual(qe0), axis=-1)
-    qe, k, rnorm = jax.lax.while_loop(cond, body, (qe0, jnp.zeros((), jnp.int32), r0))
+    r0 = residual(qe0)
+    qe, k, res = jax.lax.while_loop(
+        cond, body, (qe0, jnp.zeros((), jnp.int32), r0)
+    )
+    rnorm = jnp.linalg.norm(res, axis=-1)
     return StaticsSolution(qe=qe, iterations=k, residual_norm=rnorm,
                            converged=rnorm <= tol)
 

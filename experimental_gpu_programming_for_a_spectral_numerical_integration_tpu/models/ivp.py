@@ -92,8 +92,8 @@ def rotating_frame_ivp(k=(0.0, 2.0, 0.0), q0=(1.0, 0.0, 0.0, 0.0), n: int = 16,
                        dtype=jnp.float64):
     """Constant-curvature quaternion kinematics ``q' = 1/2 A(k) q``.
 
-    Exact solution is the quaternion exponential
-    ``q(X) = exp(X k / 2) * q0`` with
+    ``A(K) q = q (x) (0, K)`` is *right* multiplication by the body rate, so
+    the exact solution is ``q(X) = q0 (x) exp(X k / 2)`` with
     ``exp(theta u / 2) = (cos(theta/2), u sin(theta/2))``, ``theta = |k| X``.
     This is the rod workload (`/root/reference/main.cpp:91-118`) specialized
     to a single constant mode, giving it a closed-form gate.
@@ -118,7 +118,7 @@ def rotating_frame_ivp(k=(0.0, 2.0, 0.0), q0=(1.0, 0.0, 0.0, 0.0), n: int = 16,
             axis=-1,
         )
     q0j = jnp.asarray(np.broadcast_to(np.asarray(q0, np.float64), exp_q.shape))
-    exact = lie.quat_multiply(jnp.asarray(exp_q), q0j)
+    exact = lie.quat_multiply(q0j, jnp.asarray(exp_q))
     return sol, jnp.asarray(exact, dtype)
 
 

@@ -276,13 +276,14 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
     """
     from ..ops.pallas import rod_kernel as rk
 
+    if cfg.na != 3:
+        raise NotImplementedError(
+            "rod_shape_refined_fused covers the Kirchhoff na=3 case; use "
+            "method='picard'/'dense' for 6-DoF strains"
+        )
     kw = {} if tile is None else {"tile": tile}
     grid = cfg.grid
     qe_hi, _ = _as_dd_input(qe)
-
-    x_hi, _ = rk.rod_shape_fused(qe_hi, cfg=cfg, iters=iters,
-                                 precision=precision, **kw)
-    x_lo = jnp.zeros_like(x_hi)
 
     k_dd = _curvature_dd(cfg, qe)
     dn_in_hi, dn_in_lo = grid.dn_in_dd
@@ -294,6 +295,13 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
         ),
         -1.0,
     )
+    # Base solve through the same general-rhs kernel as the corrections —
+    # avoids rod_shape_fused's position stage, which this path recomputes
+    # in double-word form anyway.
+    x_hi = rk.picard_correction_fused(qe_hi, rhs_hi, cfg=cfg, iters=iters,
+                                      precision=precision, **kw)
+    x_lo = jnp.zeros_like(x_hi)
+
     for _ in range(refine_steps):
         r_hi, r_lo = coll.residual_quat_dd(grid, k_dd, x_hi, x_lo,
                                            rhs_hi, rhs_lo)

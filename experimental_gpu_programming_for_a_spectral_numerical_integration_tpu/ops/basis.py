@@ -33,8 +33,6 @@ __all__ = [
     "strain_at_points",
 ]
 
-_RECURRENCES = {}
-
 
 def to_reference_domain(X, begin: float = 0.0, end: float = 1.0):
     """Map the rod-normalized coordinate to ``[-1, 1]`` (`utilities.h:54`)."""
@@ -98,7 +96,9 @@ def basis_table(
     (`main.cpp:69` calling `utilities.h:50`).
     """
     x = to_reference_domain(np.asarray(points, dtype=np.float64), begin, end)
-    return np.asarray(_BASES[basis](x, num_modes), dtype=np.float64)
+    table = np.asarray(_BASES[basis](x, num_modes), dtype=np.float64)
+    table.setflags(write=False)  # cached, shared across configs
+    return table
 
 
 def phi_matrix(X, na: int, ne: int, basis: str = "legendre", begin: float = 0.0, end: float = 1.0):

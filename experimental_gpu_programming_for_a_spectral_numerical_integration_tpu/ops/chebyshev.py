@@ -28,6 +28,14 @@ import functools
 
 import numpy as np
 
+def _frozen(a: np.ndarray) -> np.ndarray:
+    """Cached host constants are shared across every SpectralGrid/RodConfig
+    in the process; freeze them so caller-side in-place edits fail loudly
+    instead of silently corrupting all subsequent solves."""
+    a.setflags(write=False)
+    return a
+
+
 __all__ = [
     "cgl_points",
     "coefficients_c",
@@ -50,7 +58,7 @@ def cgl_points(n: int, length: float = 1.0) -> np.ndarray:
     if n < 2:
         raise ValueError(f"need at least 2 CGL points, got {n}")
     j = np.arange(n, dtype=np.float64)
-    return (float(length) / 2.0) * (1.0 + np.cos(np.pi * j / (n - 1)))
+    return _frozen((float(length) / 2.0) * (1.0 + np.cos(np.pi * j / (n - 1))))
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,7 +71,7 @@ def coefficients_c(n: int) -> np.ndarray:
     c[0] = 2.0
     c[-1] = 2.0
     c *= (-1.0) ** np.arange(n)
-    return c
+    return _frozen(c)
 
 
 @functools.lru_cache(maxsize=None)
@@ -82,7 +90,7 @@ def diff_matrix(n: int, length: float = 1.0) -> np.ndarray:
     dx = x[:, None] - x[None, :] + np.eye(n)
     d = (c[:, None] / c[None, :]) / dx
     d[np.diag_indices(n)] -= d.sum(axis=1)
-    return d
+    return _frozen(d)
 
 
 def split_endpoint(d: np.ndarray, known: str = "last"):
@@ -118,7 +126,7 @@ def integration_matrix(n: int, length: float = 1.0, known: str = "last") -> np.n
     """
     d_nn, _ = split_endpoint(diff_matrix(n, length), known)
     m = d_nn.shape[0]
-    return np.linalg.solve(d_nn, np.eye(m))
+    return _frozen(np.linalg.solve(d_nn, np.eye(m)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -142,4 +150,4 @@ def clenshaw_curtis_weights(n: int, length: float = 1.0) -> np.ndarray:
     even = k[k % 2 == 0]
     moments[even] = 2.0 / (1.0 - even.astype(np.float64) ** 2)
     w = np.linalg.solve(v.T, moments)
-    return w * (float(length) / 2.0)
+    return _frozen(w * (float(length) / 2.0))

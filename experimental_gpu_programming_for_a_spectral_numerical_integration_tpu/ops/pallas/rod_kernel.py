@@ -59,19 +59,17 @@ DEFAULT_TILE = 2048
 _PTS_PAD = 16  # points padded to one sublane tile
 
 
-def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
-            iters, ne, precision):
-    bt = qe_ref.shape[1]          # rods per tile
-    half = bt // 2                # columns of the packed state
-    f32 = jnp.float32
-    P = _PTS_PAD
+def _make_mm(precision):
+    """Matmul closure for the requested MXU pass count.
 
+    'high' emulates the bf16x3 pass Mosaic lacks (it supports only DEFAULT
+    1x bf16 and HIGHEST 6x) with error-split operands:
+    ``a b ~ hi hi + hi lo + lo hi``.  Shared by both kernels.
+    """
+    f32 = jnp.float32
     dims = (((1,), (0,)), ((), ()))
 
     if precision == "high":
-        # Manual bf16x3: Mosaic dot supports only DEFAULT (1x bf16) and
-        # HIGHEST (6x); emulate the missing 3-pass f32-class product with
-        # error-split operands: a b ~ hi hi + hi lo + lo hi.
         def mm(a, b):
             a16 = a.astype(jnp.bfloat16)
             b16 = b.astype(jnp.bfloat16)
@@ -91,20 +89,27 @@ def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
                 a, b, dimension_numbers=dims,
                 preferred_element_type=f32, precision=precision,
             )
+    return mm
 
-    # K_a = P~ @ qe_a : (16, ne) @ (ne, B_t) -> (16, B_t); the lane/sublane
-    # orientation matches the packed state directly.
+
+def _curvature_halves(mm, qe_ref, ptab_ref, ne, half):
+    """K_a = P~ @ qe_a, sliced per packed half.
+
+    Three (16, ne) @ (ne, B_t) matmuls; the lane/sublane orientation matches
+    the packed state directly.  Per packed half h (rows h*64 + c*16), rods
+    are columns [h*half:(h+1)*half) of the K arrays.
+    """
     p = ptab_ref[:, :]
     k = [mm(p, qe_ref[a * ne:(a + 1) * ne, :]) for a in range(3)]
-    # Per packed half h (rows h*64 + c*16), rods are columns
-    # [h*half:(h+1)*half) of the K arrays.
-    kh = [[ki[:, h * half:(h + 1) * half] for ki in k] for h in range(2)]
+    return [[ki[:, h * half:(h + 1) * half] for ki in k] for h in range(2)]
 
-    w = w_ref[:, :]               # (128, 128) = I8 (x) (G~ / 2)
-    g_rhs = g_rhs_ref[:, :]       # (128, 1) broadcasts over lanes
+
+def _make_a_apply(kh):
+    """``t = A(K) s`` on the packed state (128, half) — the quaternion-skew
+    action (`/root/reference/main.cpp:72-75`) as 12 aligned VPU FMAs."""
+    P = _PTS_PAD
 
     def a_apply(s):
-        """t = A(K) s on the packed state (128, half)."""
         blocks = []
         for h in range(2):
             k0, k1, k2 = kh[h]
@@ -120,6 +125,22 @@ def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
                 k2 * sw + k1 * sx - k0 * sy,
             ]
         return jnp.concatenate(blocks, axis=0)
+
+    return a_apply
+
+
+def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
+            iters, ne, precision):
+    bt = qe_ref.shape[1]          # rods per tile
+    half = bt // 2                # columns of the packed state
+    P = _PTS_PAD
+
+    mm = _make_mm(precision)
+    kh = _curvature_halves(mm, qe_ref, ptab_ref, ne, half)
+    a_apply = _make_a_apply(kh)
+
+    w = w_ref[:, :]               # (128, 128) = I8 (x) (G~ / 2)
+    g_rhs = g_rhs_ref[:, :]       # (128, 1) broadcasts over lanes
 
     # Picard: s <- g_rhs + W t, W already carries the ODE's 1/2 and G.
     s = jnp.broadcast_to(g_rhs, (8 * P, half))
@@ -155,49 +176,11 @@ def _corr_kernel(qe_ref, w_ref, ptab_ref, rhs_ref, x_out_ref, *,
     only feed the quaternion state)."""
     bt = qe_ref.shape[1]
     half = bt // 2
-    f32 = jnp.float32
-    P = _PTS_PAD
-    dims = (((1,), (0,)), ((), ()))
 
-    if precision == "high":
-        def mm(a, b):
-            a16 = a.astype(jnp.bfloat16)
-            b16 = b.astype(jnp.bfloat16)
-            a_err = (a - a16.astype(f32)).astype(jnp.bfloat16)
-            b_err = (b - b16.astype(f32)).astype(jnp.bfloat16)
-
-            def d(x, y):
-                return jax.lax.dot_general(
-                    x, y, dimension_numbers=dims, preferred_element_type=f32)
-
-            return d(a16, b16) + d(a16, b_err) + d(a_err, b16)
-    else:
-        def mm(a, b):
-            return jax.lax.dot_general(
-                a, b, dimension_numbers=dims,
-                preferred_element_type=f32, precision=precision)
-
-    p = ptab_ref[:, :]
-    k = [mm(p, qe_ref[a * ne:(a + 1) * ne, :]) for a in range(3)]
-    kh = [[ki[:, h * half:(h + 1) * half] for ki in k] for h in range(2)]
+    mm = _make_mm(precision)
+    kh = _curvature_halves(mm, qe_ref, ptab_ref, ne, half)
+    a_apply = _make_a_apply(kh)
     w = w_ref[:, :]
-
-    def a_apply(s):
-        blocks = []
-        for h in range(2):
-            k0, k1, k2 = kh[h]
-            o = h * 4 * P
-            sw = s[o + 0 * P:o + 1 * P, :]
-            sx = s[o + 1 * P:o + 2 * P, :]
-            sy = s[o + 2 * P:o + 3 * P, :]
-            sz = s[o + 3 * P:o + 4 * P, :]
-            blocks += [
-                -k0 * sx - k1 * sy - k2 * sz,
-                k0 * sw + k2 * sy - k1 * sz,
-                k1 * sw - k2 * sx + k0 * sz,
-                k2 * sw + k1 * sx - k0 * sy,
-            ]
-        return jnp.concatenate(blocks, axis=0)
 
     g_rhs = mm(w, 2.0 * rhs_ref[:, :])
     s = g_rhs
@@ -293,6 +276,11 @@ def _constants(cfg: rod_model.RodConfig, precision_tag):
             f"fused kernel supports n-1 <= {P} points (got {npts}); "
             "use the XLA path for larger grids"
         )
+    if cfg.na != 3:
+        raise NotImplementedError(
+            "fused kernels cover the Kirchhoff na=3 case; use the XLA "
+            "picard/dense paths for 6-DoF strains"
+        )
     g_pad = np.zeros((P, P), np.float64)
     g_pad[:npts, :npts] = grid.ginv
     w = np.kron(np.eye(8), 0.5 * g_pad).astype(np.float32)      # (128, 128)
@@ -365,11 +353,7 @@ def rod_shape_fused(qes, cfg: rod_model.RodConfig = rod_model.RodConfig(),
         interpret=interpret,
     )(qes.T, jnp.asarray(w), jnp.asarray(ptab), jnp.asarray(g_rhs))
 
-    # (128, n_tiles*half) packed -> (B, npts, comp).
-    def unpack(out, comp):
-        t = out.reshape(2, 4, P, n_tiles, half)          # (half_idx, c, i, tile, col)
-        t = jnp.transpose(t, (3, 0, 4, 2, 1))            # (tile, half_idx, col, i, c)
-        t = t.reshape(b_pad, P, 4)
-        return t[:b, :npts, :comp]
-
-    return unpack(q_out, 4), unpack(r_out, 3)
+    return (
+        unpack_state(q_out, b, npts, 4, tile),
+        unpack_state(r_out, b, npts, 3, tile),
+    )

@@ -40,8 +40,13 @@ def quaternion_norm_drift(solution: rod_model.RodSolution) -> float:
 
 
 def solution_residual_norm(qe, solution: rod_model.RodSolution,
-                           cfg: rod_model.RodConfig = rod_model.RodConfig()) -> float:
-    """||A_NN chi - (b - ivp)||_inf of the quaternion solve, in f64."""
+                           cfg: rod_model.RodConfig = rod_model.RodConfig(),
+                           q_init=(1.0, 0.0, 0.0, 0.0)) -> float:
+    """||A_NN chi - (b - ivp)||_inf of the quaternion solve, in f64.
+
+    ``q_init`` must match the initial condition the solution was computed
+    with (default: the reference demo's identity quaternion).
+    """
     qe = np.asarray(qe, np.float64)
     m = rod_model._ode_blocks(
         rod_model.curvature_at_points(cfg, jnp.asarray(qe))
@@ -52,7 +57,9 @@ def solution_residual_norm(qe, solution: rod_model.RodSolution,
     else:
         x = np.asarray(solution.quaternions, np.float64)
     flat = np.swapaxes(x, -1, -2).reshape(-1)
-    rhs = -np.kron(np.eye(4), cfg.grid.dn_in[:, None]) @ np.array([1.0, 0, 0, 0])
+    rhs = -np.kron(np.eye(4), cfg.grid.dn_in[:, None]) @ np.asarray(
+        q_init, np.float64
+    )
     return float(np.max(np.abs(a @ flat - rhs)))
 
 

@@ -88,7 +88,10 @@ def update_a(qe, d_nn, n: int = 16, na: int = 3, ne: int = 3, length: float = 1.
     npts = n - 1
     a_nn = d_nn.copy()
     for i in range(npts):
-        k = phi(x[i], na, ne) @ qe
+        # Arc length normalized to [0, 1] for the basis — the reference
+        # hard-codes L=1 so its un-normalized phi(x[i]) coincides; the
+        # normalized form matches the framework and native oracle for any L.
+        k = phi(x[i] / length, na, ne) @ qe
         blk = quat_a_matrix(k)
         for row in range(4):
             for col in range(4):

@@ -94,3 +94,13 @@ def test_integration_matrix_quadrature():
     d_nn, d_in = chebyshev.split_endpoint(d, "last")
     y = g @ (fp[: n - 1] - d_in[:, 0] * f[-1])
     np.testing.assert_allclose(y, f[: n - 1], atol=1e-9)
+
+
+def test_cached_constants_are_frozen():
+    """Regression: cached host constants are shared across every grid/config
+    in the process — in-place edits must fail loudly."""
+    for arr in (chebyshev.cgl_points(16), chebyshev.diff_matrix(16),
+                chebyshev.integration_matrix(16),
+                chebyshev.clenshaw_curtis_weights(16)):
+        with pytest.raises(ValueError):
+            arr[0] = 0.0

@@ -61,3 +61,14 @@ def test_rotating_frame_zero_curvature():
         np.asarray(numeric), np.broadcast_to([1.0, 0, 0, 0], numeric.shape),
         atol=1e-13,
     )
+
+
+def test_rotating_frame_nonidentity_initial_quaternion():
+    """Regression: A(K) q is RIGHT-multiplication by the body rate, so the
+    closed form is q0 (x) exp(Xk/2) — a rotated q0 must still match."""
+    import math
+
+    q0 = (math.cos(0.4), math.sin(0.4), 0.0, 0.0)
+    numeric, exact = ivp.rotating_frame_ivp(k=(0.0, 2.0, 0.0), q0=q0, n=20)
+    np.testing.assert_allclose(np.asarray(numeric), np.asarray(exact),
+                               rtol=1e-11, atol=1e-12)

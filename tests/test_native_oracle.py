@@ -80,3 +80,13 @@ def test_framework_matches_native_oracle():
     sol = rod.rod_shape(jnp.asarray(qe), method="dense")
     np.testing.assert_allclose(np.asarray(sol.q_stack), q_nat, atol=1e-12)
     np.testing.assert_allclose(np.asarray(sol.positions), r_nat, atol=1e-12)
+
+
+def test_oracles_agree_at_nonunit_length():
+    """Regression: both oracles must normalize arc length into the basis for
+    L != 1 (the reference hard-codes L=1)."""
+    qe = oracle.demo_qe()
+    q_np, r_np = oracle.integrate_position(qe, length=2.0)
+    q_nat, r_nat = native_oracle.solve_rod(qe, length=2.0)
+    np.testing.assert_allclose(q_nat, q_np, atol=1e-12)
+    np.testing.assert_allclose(r_nat, r_np, atol=1e-12)

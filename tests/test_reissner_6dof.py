@@ -63,3 +63,17 @@ def test_combined_bend_and_extension_picard():
 def test_refined_rejects_6dof():
     with pytest.raises(NotImplementedError, match="6-DoF"):
         rod.rod_shape(jnp.zeros(18, jnp.float32), cfg=CFG6, method="refined")
+
+
+def test_fused_paths_reject_6dof():
+    """Regression: the Pallas kernels only model curvature; they must refuse
+    na=6 configs instead of silently dropping gamma."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
+        rod_kernel,
+    )
+
+    with pytest.raises(NotImplementedError, match="na=3"):
+        rod.rod_shape_refined_fused(jnp.zeros((4, 18), jnp.float32), cfg=CFG6)
+    with pytest.raises(NotImplementedError, match="na=3"):
+        rod_kernel.rod_shape_fused(jnp.zeros((4, 18), jnp.float32), cfg=CFG6,
+                                   interpret=True)
