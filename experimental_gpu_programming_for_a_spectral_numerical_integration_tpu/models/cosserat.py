@@ -63,11 +63,15 @@ class StaticsConfig:
     ``stiffness``: diagonal ``H = (H_torsion, H_bend_y, H_bend_z)`` —
     ``(GJ, EI_y, EI_z)`` for a Kirchhoff rod.  ``kappa0``: intrinsic
     (rest) curvature modes, same layout as ``qe``.
+    ``distributed_force``: constant force density per unit length in the
+    world frame (e.g. ``(0, 0, -rho g A)`` for gravity), applied along the
+    whole rod via the spectral partial-integral operator.
     """
 
     rod: rod.RodConfig = field(default_factory=lambda: rod.RodConfig(n=64))
     stiffness: tuple = (1.0, 1.0, 1.0)
     kappa0: tuple | None = None
+    distributed_force: tuple | None = None
 
     @functools.cached_property
     def full_basis_table(self) -> np.ndarray:
@@ -132,6 +136,19 @@ def equilibrium_residual(qe, tip_force, tip_moment, cfg: StaticsConfig,
     arm = r_tip - r                                        # (..., n, 3)
     f = jnp.broadcast_to(jnp.asarray(tip_force, dtype), arm.shape)
     world_moment = jnp.cross(arm, f) + jnp.asarray(tip_moment, dtype)
+
+    if cfg.distributed_force is not None:
+        # Constant force density w: moment about section i is
+        # int_{x_i}^{L} (r(s) - r_i) x w ds = [ (T r)_i - (L - x_i) r_i ] x w
+        # with T the spectral tail-integral operator.
+        w_dist = jnp.asarray(cfg.distributed_force, dtype)
+        t_op = jnp.asarray(
+            chebyshev.partial_integral_matrix(rc.n, rc.length), dtype
+        )
+        tail_len = jnp.asarray(rc.length - rc.points, dtype)   # (n,)
+        tr = jnp.einsum("ij,...jc->...ic", t_op, r, precision="highest")
+        dist_arm = tr - tail_len[:, None] * r
+        world_moment = world_moment + jnp.cross(dist_arm, w_dist)
     tau = jnp.einsum("...nij,...nj->...ni", jnp.swapaxes(rot, -1, -2),
                      world_moment, precision="highest")
 

@@ -42,6 +42,7 @@ __all__ = [
     "diff_matrix",
     "split_endpoint",
     "integration_matrix",
+    "partial_integral_matrix",
     "clenshaw_curtis_weights",
 ]
 
@@ -127,6 +128,23 @@ def integration_matrix(n: int, length: float = 1.0, known: str = "last") -> np.n
     d_nn, _ = split_endpoint(diff_matrix(n, length), known)
     m = d_nn.shape[0]
     return _frozen(np.linalg.solve(d_nn, np.eye(m)))
+
+
+@functools.lru_cache(maxsize=None)
+def partial_integral_matrix(n: int, length: float = 1.0) -> np.ndarray:
+    """``T``: values on the full grid -> tail integrals ``int_{x_i}^{L} f``.
+
+    Built from the spectral antiderivative ``F = G f`` (``F(0) = 0``):
+    ``int_{x_i}^L f = F(tip) - F(x_i)`` with the tip at grid index 0
+    (descending order).  Row ``n-1`` (the base) gives the full integral;
+    the base column is zero (the derivative is collocated at the unknown
+    points only).  Used by distributed-load statics.
+    """
+    g = integration_matrix(n, length)
+    t = np.zeros((n, n))
+    t[: n - 1, : n - 1] = g[0][None, :] - g
+    t[n - 1, : n - 1] = g[0]
+    return _frozen(t)
 
 
 @functools.lru_cache(maxsize=None)

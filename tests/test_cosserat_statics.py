@@ -108,3 +108,46 @@ def test_stiffness_scaling():
     qe1 = np.asarray(cosserat.solve_statics(jnp.zeros(3), m, CFG16).qe)
     qe2 = np.asarray(cosserat.solve_statics(jnp.zeros(3), m, cfg2).qe)
     np.testing.assert_allclose(qe2, qe1 / 2.0, atol=1e-7)
+
+
+def test_partial_integral_matrix_exact():
+    """Tail-integral operator must integrate polynomials exactly."""
+    import numpy as np
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import (
+        chebyshev,
+    )
+
+    n = 16
+    x = chebyshev.cgl_points(n)
+    t = chebyshev.partial_integral_matrix(n)
+    for deg in range(6):
+        f = x**deg
+        exact = (1.0 - x ** (deg + 1)) / (deg + 1)  # int_x^1 s^deg ds
+        np.testing.assert_allclose(t @ f, exact, atol=1e-12)
+
+
+def test_uniform_load_matches_linear_beam_theory():
+    """Small uniform load w_z: Euler-Bernoulli tip deflection w L^4 / (8 EI)."""
+    w = 1e-3
+    cfg = cosserat.StaticsConfig(
+        rod=rod.RodConfig(n=16), distributed_force=(0.0, 0.0, w)
+    )
+    sol = cosserat.solve_statics(jnp.zeros(3), cfg=cfg)
+    assert bool(sol.converged)
+    shape = rod.rod_shape(sol.qe, cfg=cfg.rod, method="picard")
+    tip_dz = float(shape.tip_position[2])
+    assert tip_dz == pytest.approx(w / 8.0, rel=3e-3)
+
+
+def test_gravity_plus_tip_force_superpose_in_linear_regime():
+    w, f = 1e-4, 1e-4
+    cfg_w = cosserat.StaticsConfig(rod=rod.RodConfig(n=16),
+                                   distributed_force=(0.0, 0.0, w))
+    both = cosserat.solve_statics(jnp.asarray([0.0, 0.0, f]), cfg=cfg_w)
+    only_w = cosserat.solve_statics(jnp.zeros(3), cfg=cfg_w)
+    cfg0 = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    only_f = cosserat.solve_statics(jnp.asarray([0.0, 0.0, f]), cfg=cfg0)
+    np.testing.assert_allclose(
+        np.asarray(both.qe), np.asarray(only_w.qe) + np.asarray(only_f.qe),
+        atol=1e-8,
+    )
