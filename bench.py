@@ -13,22 +13,25 @@ it is a single-rod, single-thread CPU program).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def _measure(fn, arg, reps: int = 20):
+def _measure(fn, arg, reps: int | None = None):
     import jax
 
+    reps = reps or int(os.environ.get("BENCH_REPS", 20))
     out = fn(arg)
+    assert out.ndim == 0, "bench fns must reduce to a scalar on device"
     jax.block_until_ready(out)
-    _ = float(np.asarray(out if out.ndim == 0 else out.ravel()[0]))
+    _ = float(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(arg)
     # host fetch of a scalar forces completion of the final execution
-    _ = float(np.asarray(out if out.ndim == 0 else out.ravel()[0]))
+    _ = float(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -40,14 +43,19 @@ def main():
     from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils import oracle
 
     cfg = rod.RodConfig(n=16)
-    batch = 131072
+    # BENCH_BATCH / BENCH_REPS overrides for smoke tests on slow backends;
+    # Pallas kernels run in interpret mode on the CPU backend.
+    batch = int(os.environ.get("BENCH_BATCH", 131072))
+    interpret = jax.default_backend() == "cpu"
+    tile = min(batch, 2048)
     rng = np.random.default_rng(0)
     qes = jnp.asarray(rng.standard_normal((batch, 9)), jnp.float32)
 
     def refined_step(q):
         # Headline: Pallas-fused f32 solves + one double-word IR pass
         # (measured ~1e-11 rel Linf — gate is 1e-8; see inline check below).
-        sol = rod.rod_shape_refined_fused(q, cfg=cfg, refine_steps=1)
+        sol = rod.rod_shape_refined_fused(q, cfg=cfg, refine_steps=1,
+                                          tile=tile, interpret=interpret)
         return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
 
     def picard_step(q):
@@ -62,7 +70,8 @@ def main():
     )
 
     def fused_step(q):
-        qk, rk = rod_kernel.rod_shape_fused(q, cfg=cfg)
+        qk, rk = rod_kernel.rod_shape_fused(q, cfg=cfg, tile=tile,
+                                            interpret=interpret)
         return jnp.sum(qk) + jnp.sum(rk)
 
     dt_fused = _measure(jax.jit(fused_step), qes)
@@ -70,8 +79,9 @@ def main():
     # Inline accuracy gate vs the f64 algorithm-exact oracle (demo strain),
     # on the SAME code path as the headline timing.
     qe_hi, qe_lo = rod.split_strain(oracle.demo_qe())
-    qe_dd = (jnp.tile(qe_hi, (2048, 1)), jnp.tile(qe_lo, (2048, 1)))
-    sol = rod.rod_shape_refined_fused(qe_dd, cfg=cfg, refine_steps=1)
+    qe_dd = (jnp.tile(qe_hi, (tile, 1)), jnp.tile(qe_lo, (tile, 1)))
+    sol = rod.rod_shape_refined_fused(qe_dd, cfg=cfg, refine_steps=1,
+                                      tile=tile, interpret=interpret)
     _, r_ref = oracle.integrate_position(oracle.demo_qe())
     rel_err = float(
         np.max(np.abs(sol.positions_f64()[0] - r_ref)) / np.max(np.abs(r_ref))

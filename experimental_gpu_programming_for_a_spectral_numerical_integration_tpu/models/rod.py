@@ -264,7 +264,8 @@ class RodSolution:
 
 def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
                             refine_steps: int = 2, tile: int = None,
-                            precision: str = "high") -> RodSolution:
+                            precision: str = "high",
+                            interpret: bool = False) -> RodSolution:
     """Fastest accuracy-gated path: Pallas-fused f32 solves + double-word IR.
 
     The base solve and every refinement correction run in the fused VMEM
@@ -281,7 +282,9 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
             "rod_shape_refined_fused covers the Kirchhoff na=3 case; use "
             "method='picard'/'dense' for 6-DoF strains"
         )
-    kw = {} if tile is None else {"tile": tile}
+    kw = {"interpret": interpret}
+    if tile is not None:
+        kw["tile"] = tile
     grid = cfg.grid
     qe_hi, _ = _as_dd_input(qe)
 
