@@ -341,6 +341,20 @@ def rod_shape(qe, q_init=None, r_init=None, cfg: RodConfig = RodConfig(),
     """
     qe_arr = jnp.asarray(qe[0] if isinstance(qe, tuple) else qe)
     grid = cfg.grid
+
+    if method == "fused":
+        # Pallas fast path (ops/pallas/rod_kernel.py): reference-demo
+        # boundary conditions only.
+        if q_init is not None or r_init is not None or normalize_quaternions:
+            raise NotImplementedError(
+                "method='fused' supports the default q_init=(1,0,0,0), "
+                "r_init=0, unnormalized-quaternion semantics"
+            )
+        from ..ops.pallas import rod_kernel as rk
+
+        q, r = rk.rod_shape_fused(qe_arr, cfg=cfg, iters=iters)
+        return RodSolution(quaternions=q, positions=r)
+
     if r_init is None:
         r_init = jnp.zeros(3, qe_arr.dtype)
     r_init = jnp.asarray(r_init, qe_arr.dtype)

@@ -18,7 +18,40 @@ __all__ = [
     "quaternion_norm_drift",
     "solution_residual_norm",
     "convergence_report",
+    "picard_error_bound",
+    "picard_iterations_needed",
 ]
+
+
+def picard_error_bound(rho: float, iters: int) -> float:
+    """Volterra-series truncation bound for the Picard solve.
+
+    ``rho = ||M|| * L`` (for the rod, ``|K|_max * L / 2``).  The error after
+    ``k`` iterations is bounded by the series tail
+    ``sum_{j>k} rho^j / j!`` — factorial decay, but with intermediate terms
+    as large as ``rho^rho/rho!`` that amplify f32 roundoff: for
+    ``rho >~ 8`` prefer more iterations + the refined path, or split the rod
+    into segments (models/segments.py) so each segment's ``rho`` shrinks.
+    """
+    import math
+
+    term = rho ** (iters + 1) / math.factorial(iters + 1)
+    # geometric tail bound: term * 1/(1 - rho/(iters+2)) when rho < iters+2
+    if rho < iters + 2:
+        return term / (1.0 - rho / (iters + 2))
+    return float("inf")
+
+
+def picard_iterations_needed(rho: float, tol: float = 1e-7,
+                             max_iters: int = 200) -> int:
+    """Smallest iteration count with :func:`picard_error_bound` <= tol."""
+    for k in range(1, max_iters + 1):
+        if picard_error_bound(rho, k) <= tol:
+            return k
+    raise ValueError(
+        f"rho={rho} needs >{max_iters} Picard iterations for tol={tol}; "
+        "split the rod into segments instead"
+    )
 
 
 def condition_number(qe, cfg: rod_model.RodConfig = rod_model.RodConfig()):

@@ -58,3 +58,23 @@ def test_timer_laps():
     rep = t.report()
     assert set(rep) == {"a", "b"}
     assert all(v >= 0 for v in rep.values())
+
+
+def test_picard_iteration_planner():
+    # demo-field curvature |K| ~ 3 -> rho ~ 1.5: a handful of iterations
+    k_demo = diagnostics.picard_iterations_needed(1.5, tol=1e-7)
+    assert 5 <= k_demo <= 15
+    # the default 20-24 iterations cover rho up to ~4 at f32 tolerance
+    assert diagnostics.picard_error_bound(4.0, 24) < 1e-7
+    # planner's answer really achieves the tolerance numerically
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import ivp
+    import numpy as np
+
+    k = (0.0, 3.0, 0.0)  # rho = |k| L / 2 = 1.5
+    num, exact = ivp.rotating_frame_ivp(k=k, n=16, method="picard")
+    assert float(np.max(np.abs(np.asarray(num) - np.asarray(exact)))) < 1e-9
+
+
+def test_picard_planner_rejects_huge_rho():
+    with pytest.raises(ValueError, match="segments"):
+        diagnostics.picard_iterations_needed(500.0, tol=1e-7, max_iters=50)

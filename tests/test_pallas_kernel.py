@@ -76,3 +76,13 @@ def test_fused_large_n_rejected():
             jnp.zeros((4, 9), jnp.float32), cfg=rod.RodConfig(n=32),
             interpret=True,
         )
+
+
+def test_rod_shape_method_fused():
+    """method='fused' routes through the Pallas kernel (interpret on CPU
+    isn't auto-selected here, so just check routing + guards)."""
+    rng = np.random.default_rng(5)
+    qes = jnp.asarray(rng.standard_normal((64, 9)), jnp.float32)
+    with pytest.raises(NotImplementedError, match="fused"):
+        rod.rod_shape(qes, q_init=jnp.asarray([0.0, 1.0, 0.0, 0.0]),
+                      method="fused")
