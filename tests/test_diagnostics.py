@@ -78,3 +78,22 @@ def test_picard_iteration_planner():
 def test_picard_planner_rejects_huge_rho():
     with pytest.raises(ValueError, match="segments"):
         diagnostics.picard_iterations_needed(500.0, tol=1e-7, max_iters=50)
+
+
+def test_solves_clean_under_debug_nans():
+    """SURVEY §5 sanitizer row: the solve paths must not trip
+    jax_debug_nans (no hidden 0/0 or inf intermediates)."""
+    import jax
+
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils import (
+        oracle as _oracle,
+    )
+
+    jax.config.update("jax_debug_nans", True)
+    try:
+        qe = jnp.asarray(np.asarray(_oracle.demo_qe()), jnp.float32)
+        rod.rod_shape(qe, method="picard")
+        rod.rod_shape(rod.split_strain(np.asarray(_oracle.demo_qe())),
+                      method="refined")
+    finally:
+        jax.config.update("jax_debug_nans", False)

@@ -85,20 +85,8 @@ def test_refined_fused_hits_gate_interpret():
     _, r_ref = oracle.integrate_position(qe)
     qe_hi, qe_lo = rod.split_strain(qe)
     qdd = (jnp.tile(qe_hi, (64, 1)), jnp.tile(qe_lo, (64, 1)))
-    import unittest.mock as mock
-
-    # interpret=True threaded through both kernel entry points
-    import functools
-    orig_fused = rod_kernel.rod_shape_fused
-    orig_corr = rod_kernel.picard_correction_fused
-    with mock.patch.object(
-        rod_kernel, "rod_shape_fused",
-        functools.partial(orig_fused, interpret=True, tile=64),
-    ), mock.patch.object(
-        rod_kernel, "picard_correction_fused",
-        functools.partial(orig_corr, interpret=True, tile=64),
-    ):
-        sol = rod.rod_shape_refined_fused(qdd, refine_steps=1)
+    sol = rod.rod_shape_refined_fused(qdd, refine_steps=1, tile=64,
+                                      interpret=True)
     r64 = sol.positions_f64()[0]
     rel = np.max(np.abs(r64 - r_ref)) / np.max(np.abs(r_ref))
     assert rel < 1e-8, rel
