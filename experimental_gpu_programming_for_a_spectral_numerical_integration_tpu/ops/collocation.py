@@ -265,7 +265,16 @@ def residual_quat_dd(grid: SpectralGrid, k_dd, x_hi, x_lo, rhs_hi, rhs_lo):
     transformations; the cross terms ``Dn_hi x_lo + Dn_lo x_hi`` are
     ~2^-24-scale, so plain f32 HIGHEST matmuls keep them well below the
     ~2^-48 target.  ``k_dd``: dd pair ``(..., np, 3)``.
+
+    Rank-3 inputs (one batch axis) take a batch-minor ``(4, np, B)`` layout
+    internally: the per-``j`` slices become major-axis row selections, so
+    every elementwise dd op stays flat-packed on the VPU (~20% faster than
+    the batch-major layout at B=131072 on v5e).
     """
+    if x_hi.ndim == 3:
+        return _residual_quat_dd_batchminor(
+            grid, k_dd, x_hi, x_lo, rhs_hi, rhs_lo
+        )
     dn_hi, dn_lo = grid.dn_nn_dd
     dn_hi = jnp.asarray(dn_hi)
     dn_lo = jnp.asarray(dn_lo)
@@ -310,6 +319,60 @@ def residual_quat_dd(grid: SpectralGrid, k_dd, x_hi, x_lo, rhs_hi, rhs_lo):
     ax_hi = jnp.stack([r[0] for r in rows], axis=-1)
     ax_lo = jnp.stack([r[1] for r in rows], axis=-1)
     return dd.dd_add(r_hi, r_lo, ax_hi, ax_lo)
+
+
+def _residual_quat_dd_batchminor(grid: SpectralGrid, k_dd, x_hi, x_lo,
+                                 rhs_hi, rhs_lo):
+    """Batch-minor implementation of :func:`residual_quat_dd` for ``(B, np,
+    4)`` inputs — see its docstring for the layout rationale."""
+    dn_hi, dn_lo = grid.dn_nn_dd
+    dn_hi = jnp.asarray(dn_hi)
+    dn_lo = jnp.asarray(dn_lo)
+    npts = grid.num_unknown
+
+    def t(a):  # (B, np, c) <-> (c, np, B); involution
+        return jnp.transpose(a, (2, 1, 0))
+
+    xt_hi, xt_lo = t(x_hi), t(x_lo)
+    rt_hi, rt_lo = t(rhs_hi), t(rhs_lo)
+
+    acc_hi = jnp.zeros_like(xt_hi)
+    acc_lo = jnp.zeros_like(xt_lo)
+    for j in range(npts):
+        col = dn_hi[:, j][None, :, None]              # (1, np_i, 1)
+        p, e = dd.two_prod(col, xt_hi[:, j:j + 1, :])  # -> (4, np_i, B)
+        acc_hi, acc_lo = dd.dd_add(acc_hi, acc_lo, p, e)
+    cross = (
+        jnp.einsum("ij,cjb->cib", dn_hi, xt_lo, precision="highest")
+        + jnp.einsum("ij,cjb->cib", dn_lo, xt_hi, precision="highest")
+    )
+    acc_hi, acc_lo = dd.dd_add_f32(acc_hi, acc_lo, cross)
+    r_hi, r_lo = dd.dd_add(rt_hi, rt_lo, -acc_hi, -acc_lo)
+
+    k_hi, k_lo = k_dd
+    k_hi = 0.5 * jnp.transpose(k_hi, (2, 1, 0))        # (3, np, B)
+    k_lo = 0.5 * jnp.transpose(k_lo, (2, 1, 0))
+    kc = [(k_hi[a], k_lo[a]) for a in range(3)]
+    xc = [(xt_hi[c], xt_lo[c]) for c in range(4)]
+
+    def p(a, c):
+        return dd.dd_mul(kc[a][0], kc[a][1], xc[c][0], xc[c][1])
+
+    def add3(sign0, t0, sign1, t1, sign2, t2):
+        s_hi, s_lo = dd.dd_scale(*t0, sign0)
+        s_hi, s_lo = dd.dd_add(s_hi, s_lo, *dd.dd_scale(*t1, sign1))
+        return dd.dd_add(s_hi, s_lo, *dd.dd_scale(*t2, sign2))
+
+    rows = [
+        add3(-1.0, p(0, 1), -1.0, p(1, 2), -1.0, p(2, 3)),
+        add3(+1.0, p(0, 0), +1.0, p(2, 2), -1.0, p(1, 3)),
+        add3(+1.0, p(1, 0), -1.0, p(2, 1), +1.0, p(0, 3)),
+        add3(+1.0, p(2, 0), +1.0, p(1, 1), -1.0, p(0, 2)),
+    ]
+    ax_hi = jnp.stack([r[0] for r in rows], axis=0)
+    ax_lo = jnp.stack([r[1] for r in rows], axis=0)
+    out_hi, out_lo = dd.dd_add(r_hi, r_lo, ax_hi, ax_lo)
+    return t(out_hi), t(out_lo)
 
 
 def _broadcast4(a_hi, a_lo, b_hi, b_lo):
