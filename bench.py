@@ -25,7 +25,7 @@ def _measure(fn, arg, reps: int | None = None):
     reps = reps or int(os.environ.get("BENCH_REPS", 20))
     out = fn(arg)
     assert out.ndim == 0, "bench fns must reduce to a scalar on device"
-    jax.block_until_ready(out)
+    # scalar fetch = real sync (block_until_ready is unreliable over tunnel)
     _ = float(out)
     t0 = time.perf_counter()
     for _ in range(reps):

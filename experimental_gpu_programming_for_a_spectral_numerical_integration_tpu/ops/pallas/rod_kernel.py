@@ -14,28 +14,28 @@ whole solve; HBM sees only ``qe`` in and ``(Q, r)`` out.
 Layout (the part that makes it fast):
 
 * The per-rod state is 4 quaternion components x (n-1) points.  Points are
-  padded to 16 and **two rods are stacked**, giving a 2x4x16 = 128-row
-  column — exactly the MXU/VPU sublane width.  State tile:
-  ``(128, B_t/2)`` with rods riding the lanes.
+  padded to ``p_pad`` in {8, 16, 32} and ``rpc = 128 / (4 p_pad)`` rods are
+  stacked, giving a ``rpc x 4 x p_pad = 128``-row column — exactly the
+  MXU/VPU sublane width (n=16 -> 2 rods/column; n<=9 -> 4; n<=33 -> 1).
 * The constant Picard preconditioner ``G = Dn_NN^{-1}`` (with the ODE's 1/2
-  folded in) becomes ONE dense 128x128 weight ``W = I_8 (x) (G~/2)``
-  (G~ = G zero-padded to 16): the whole iteration's linear part is a single
-  fully-packed MXU matmul ``W @ t`` streaming ``B_t/2`` columns — ~88% MAC
-  utilization vs ~1.4% for a naive (15,15) matmul.
+  folded in) becomes ONE dense 128x128 weight ``W = I_{4 rpc} (x) (G~/2)``
+  (G~ = G zero-padded to p_pad): the whole iteration's linear part is a
+  single fully-packed MXU matmul ``W @ t`` streaming ``B_t/rpc`` columns —
+  ~88% MAC utilization vs ~1.4% for a naive (15,15) matmul.
 * The per-point operator ``A(K)`` (`/root/reference/main.cpp:72-75`) is
   never materialized: its action is 12 VPU multiply-adds on aligned
-  ``(16, B_t/2)`` sublane slices of the state — slicing at multiples of 16
-  keeps every access tile-aligned.
+  ``(p_pad, B_t/rpc)`` sublane slices of the state — slicing at multiples
+  of p_pad (>= 8) keeps every access tile-aligned.
 * ``K`` comes straight off the input layout: ``qe`` arrives pre-transposed
-  ``(9, B)`` so ``K_a = P~ @ qe_a`` is three tiny matmuls producing
-  ``(16, B_t)`` in exactly the sublane-point/lane-rod orientation the
+  ``(na*ne, B)`` so ``K_a = P~ @ qe_a`` is three tiny matmuls producing
+  ``(p_pad, B_t)`` in exactly the sublane-point/lane-rod orientation the
   elementwise stage needs.  No transposes anywhere in the kernel.
 
 Precision: TPU MXU truncates f32 operands to bf16 per pass.  ``precision``
-selects the pass count ('default' 1x / 'float32' 3x / 'highest' 6x).  The
-Picard fixed point inherits the per-iteration matmul error, so 'float32'
+selects the pass count ('default' 1x / 'high' 3x emulated / 'highest' 6x).
+The Picard fixed point inherits the per-iteration matmul error, so 'high'
 (3-pass, ~2^-21 per product) is the default — it matches the XLA f32 path
-to ~1e-6 while keeping the MXU cost at 3 streamed passes.
+to ~1e-5 while keeping the MXU cost at 3 streamed passes.
 """
 
 from __future__ import annotations
@@ -52,11 +52,23 @@ from ...models import rod as rod_model
 
 __all__ = ["rod_shape_fused", "picard_correction_fused", "DEFAULT_TILE"]
 
-# Measured on v5e (B=131072): tile=2048 -> 59M solves/s ('high') / 46M
-# ('highest'); tile=1024 hits a Mosaic pathology (~3 orders slower) and
-# tile=4096 blows up compile time.  Keep 2048.
+# Measured on v5e (B=131072, n=16): tile=2048 -> ~50-59M solves/s ('high'),
+# tile=1024 within ~8%.  Benchmark note: warm up with a SCALAR fetch —
+# block_until_ready does not reliably block through the axon tunnel, and a
+# cold first timing loop absorbs compile time (this masqueraded as a
+# "Mosaic pathology" in early measurements).
 DEFAULT_TILE = 2048
-_PTS_PAD = 16  # points padded to one sublane tile
+
+
+def _packing(npts: int):
+    """(p_pad, rods_per_column) filling the 128-sublane dimension."""
+    for p_pad in (8, 16, 32):
+        if npts <= p_pad:
+            return p_pad, 128 // (4 * p_pad)
+    raise ValueError(
+        f"fused kernel supports n-1 <= 32 points (got {npts}); "
+        "use the XLA path for larger grids"
+    )
 
 
 def _make_mm(precision):
@@ -92,32 +104,36 @@ def _make_mm(precision):
     return mm
 
 
-def _curvature_halves(mm, qe_ref, ptab_ref, ne, half):
-    """K_a = P~ @ qe_a, sliced per packed half.
+def _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc):
+    """K_a = P~ @ qe_a, sliced per packed rod slot.
 
-    Three (16, ne) @ (ne, B_t) matmuls; the lane/sublane orientation matches
-    the packed state directly.  Per packed half h (rows h*64 + c*16), rods
-    are columns [h*half:(h+1)*half) of the K arrays.
+    Three (p_pad, ne) @ (ne, B_t) matmuls; the lane/sublane orientation
+    matches the packed state directly.  Slot h (rows h*4*p_pad + c*p_pad)
+    holds rods at columns [h*half:(h+1)*half) of the K arrays.
     """
     p = ptab_ref[:, :]
     k = [mm(p, qe_ref[a * ne:(a + 1) * ne, :]) for a in range(3)]
-    return [[ki[:, h * half:(h + 1) * half] for ki in k] for h in range(2)]
+    return [[ki[:, h * half:(h + 1) * half] for ki in k] for h in range(rpc)]
 
 
-def _make_a_apply(kh):
+def _component_slices(s, h, p_pad):
+    o = h * 4 * p_pad
+    return (
+        s[o + 0 * p_pad:o + 1 * p_pad, :],
+        s[o + 1 * p_pad:o + 2 * p_pad, :],
+        s[o + 2 * p_pad:o + 3 * p_pad, :],
+        s[o + 3 * p_pad:o + 4 * p_pad, :],
+    )
+
+
+def _make_a_apply(kh, p_pad):
     """``t = A(K) s`` on the packed state (128, half) — the quaternion-skew
     action (`/root/reference/main.cpp:72-75`) as 12 aligned VPU FMAs."""
-    P = _PTS_PAD
 
     def a_apply(s):
         blocks = []
-        for h in range(2):
-            k0, k1, k2 = kh[h]
-            o = h * 4 * P
-            sw = s[o + 0 * P:o + 1 * P, :]
-            sx = s[o + 1 * P:o + 2 * P, :]
-            sy = s[o + 2 * P:o + 3 * P, :]
-            sz = s[o + 3 * P:o + 4 * P, :]
+        for h, (k0, k1, k2) in enumerate(kh):
+            sw, sx, sy, sz = _component_slices(s, h, p_pad)
             blocks += [
                 -k0 * sx - k1 * sy - k2 * sz,
                 k0 * sw + k2 * sy - k1 * sz,
@@ -130,33 +146,28 @@ def _make_a_apply(kh):
 
 
 def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
-            iters, ne, precision):
+            iters, ne, precision, p_pad, rpc):
     bt = qe_ref.shape[1]          # rods per tile
-    half = bt // 2                # columns of the packed state
-    P = _PTS_PAD
+    half = bt // rpc              # columns of the packed state
 
     mm = _make_mm(precision)
-    kh = _curvature_halves(mm, qe_ref, ptab_ref, ne, half)
-    a_apply = _make_a_apply(kh)
+    kh = _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc)
+    a_apply = _make_a_apply(kh, p_pad)
 
-    w = w_ref[:, :]               # (128, 128) = I8 (x) (G~ / 2)
+    w = w_ref[:, :]               # (128, 128) = I_{4 rpc} (x) (G~ / 2)
     g_rhs = g_rhs_ref[:, :]       # (128, 1) broadcasts over lanes
 
     # Picard: s <- g_rhs + W t, W already carries the ODE's 1/2 and G.
-    s = jnp.broadcast_to(g_rhs, (8 * P, half))
+    s = jnp.broadcast_to(g_rhs, (4 * rpc * p_pad, half))
     for _ in range(iters):
         s = g_rhs + mm(w, a_apply(s))
     q_out_ref[:, :] = s
 
-    # Position: tangent scaled by 2 so the same W (= I8 (x) G~/2) integrates
+    # Position: tangent scaled by 2 so the same W (= I (x) G~/2) integrates
     # it; component block 3 is unused (zeros).
     blocks = []
-    for h in range(2):
-        o = h * 4 * P
-        sw = s[o + 0 * P:o + 1 * P, :]
-        sx = s[o + 1 * P:o + 2 * P, :]
-        sy = s[o + 2 * P:o + 3 * P, :]
-        sz = s[o + 3 * P:o + 4 * P, :]
+    for h in range(rpc):
+        sw, sx, sy, sz = _component_slices(s, h, p_pad)
         blocks += [
             2.0 - 4.0 * (sy * sy + sz * sz),
             4.0 * (sx * sy + sw * sz),
@@ -167,7 +178,7 @@ def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
 
 
 def _corr_kernel(qe_ref, w_ref, ptab_ref, rhs_ref, x_out_ref, *,
-                 iters, ne, precision):
+                 iters, ne, precision, p_pad, rpc):
     """Correction solve: general packed rhs instead of the IVP vector.
 
     Solves ``(I (x) Dn_NN - 1/2 A_hat) x = rhs`` for iterative refinement:
@@ -175,11 +186,11 @@ def _corr_kernel(qe_ref, w_ref, ptab_ref, rhs_ref, x_out_ref, *,
     Picard loop as the main kernel.  Skips the position stage (corrections
     only feed the quaternion state)."""
     bt = qe_ref.shape[1]
-    half = bt // 2
+    half = bt // rpc
 
     mm = _make_mm(precision)
-    kh = _curvature_halves(mm, qe_ref, ptab_ref, ne, half)
-    a_apply = _make_a_apply(kh)
+    kh = _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc)
+    a_apply = _make_a_apply(kh, p_pad)
     w = w_ref[:, :]
 
     g_rhs = mm(w, 2.0 * rhs_ref[:, :])
@@ -189,109 +200,71 @@ def _corr_kernel(qe_ref, w_ref, ptab_ref, rhs_ref, x_out_ref, *,
     x_out_ref[:, :] = s
 
 
-def pack_state(x, tile: int = DEFAULT_TILE):
-    """``(B, npts<=16, comp<=4) -> (128, B_pad/2)`` packed layout (inverse of
-    the kernel's unpack); pads batch to ``tile`` and points/components to
-    16/4.  Returns (packed, b_pad)."""
+def pack_state(x, tile: int = DEFAULT_TILE, p_pad: int = 16, rpc: int = 2):
+    """``(B, npts<=p_pad, comp<=4) -> (128, B_pad/rpc)`` packed layout
+    (inverse of :func:`unpack_state`); pads batch to ``tile`` and
+    points/components to p_pad/4.  Returns (packed, b_pad)."""
     b, npts, comp = x.shape
-    P = _PTS_PAD
     b_pad = -(-b // tile) * tile
-    x = jnp.pad(x, ((0, b_pad - b), (0, P - npts), (0, 4 - comp)))
+    x = jnp.pad(x, ((0, b_pad - b), (0, p_pad - npts), (0, 4 - comp)))
     n_tiles = b_pad // tile
-    half = tile // 2
-    t = x.reshape(n_tiles, 2, half, P, 4)       # (tile, h, col, i, c)
-    t = jnp.transpose(t, (1, 4, 3, 0, 2))       # (h, c, i, tile, col)
-    return t.reshape(8 * P, n_tiles * half), b_pad
+    half = tile // rpc
+    t = x.reshape(n_tiles, rpc, half, p_pad, 4)   # (tile, h, col, i, c)
+    t = jnp.transpose(t, (1, 4, 3, 0, 2))         # (h, c, i, tile, col)
+    return t.reshape(4 * rpc * p_pad, n_tiles * half), b_pad
 
 
-def unpack_state(packed, b: int, npts: int, comp: int, tile: int = DEFAULT_TILE):
+def unpack_state(packed, b: int, npts: int, comp: int,
+                 tile: int = DEFAULT_TILE, p_pad: int = 16, rpc: int = 2):
     """Inverse of :func:`pack_state`."""
-    P = _PTS_PAD
     cols = packed.shape[1]
-    half = tile // 2
+    half = tile // rpc
     n_tiles = cols // half
-    t = packed.reshape(2, 4, P, n_tiles, half)
-    t = jnp.transpose(t, (3, 0, 4, 2, 1)).reshape(n_tiles * tile, P, 4)
+    t = packed.reshape(rpc, 4, p_pad, n_tiles, half)
+    t = jnp.transpose(t, (3, 0, 4, 2, 1)).reshape(n_tiles * tile, p_pad, 4)
     return t[:b, :npts, :comp]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "iters", "tile", "precision", "interpret")
-)
-def picard_correction_fused(qes, rhs, cfg: rod_model.RodConfig = rod_model.RodConfig(),
-                            iters: int = 20, tile: int = DEFAULT_TILE,
-                            precision: str = "float32", interpret: bool = False):
-    """Fused solve of ``(I (x) Dn_NN - 1/2 A_hat(qe)) x = rhs`` per rod.
-
-    ``qes (B, na*ne)``, ``rhs (B, n-1, 4)`` -> ``x (B, n-1, 4)``.  Used as
-    the inner solver of iterative refinement (the residual supplies rhs).
-    """
-    qes = jnp.asarray(qes, jnp.float32)
-    rhs = jnp.asarray(rhs, jnp.float32)
-    b = qes.shape[0]
+def _constants(cfg: rod_model.RodConfig, p_pad: int, rpc: int):
     grid = cfg.grid
     npts = grid.num_unknown
-    P = _PTS_PAD
-
-    b_pad = -(-b // tile) * tile
-    if b_pad != b:
-        qes = jnp.pad(qes, ((0, b_pad - b), (0, 0)))
-    n_tiles = b_pad // tile
-    half = tile // 2
-
-    rhs_packed, _ = pack_state(rhs, tile)
-    w, ptab, _ = _constants(cfg, precision)
-    prec = {"float32": "high", "high": "high",
-            "default": jax.lax.Precision.DEFAULT,
-            "highest": jax.lax.Precision.HIGHEST}[precision]
-    kernel = functools.partial(_corr_kernel, iters=iters, ne=cfg.ne,
-                               precision=prec)
-    x_out = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((cfg.na * cfg.ne, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * P, 8 * P), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, cfg.ne), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * P, half), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8 * P, half), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8 * P, n_tiles * half), jnp.float32),
-        interpret=interpret,
-    )(qes.T, jnp.asarray(w), jnp.asarray(ptab), rhs_packed)
-    return unpack_state(x_out, b, npts, 4, tile)
-
-
-def _constants(cfg: rod_model.RodConfig, precision_tag):
-    grid = cfg.grid
-    npts = grid.num_unknown
-    P = _PTS_PAD
-    if npts > P:
-        raise ValueError(
-            f"fused kernel supports n-1 <= {P} points (got {npts}); "
-            "use the XLA path for larger grids"
-        )
     if cfg.na != 3:
         raise NotImplementedError(
             "fused kernels cover the Kirchhoff na=3 case; use the XLA "
             "picard/dense paths for 6-DoF strains"
         )
-    g_pad = np.zeros((P, P), np.float64)
+    g_pad = np.zeros((p_pad, p_pad), np.float64)
     g_pad[:npts, :npts] = grid.ginv
-    w = np.kron(np.eye(8), 0.5 * g_pad).astype(np.float32)      # (128, 128)
-    ptab = np.zeros((P, cfg.ne), np.float32)
+    w = np.kron(np.eye(4 * rpc), 0.5 * g_pad).astype(np.float32)  # (128, 128)
+    ptab = np.zeros((p_pad, cfg.ne), np.float32)
     ptab[:npts] = cfg.basis_table.astype(np.float32)
     # g_rhs = (I (x) G)(-dn_in * q0), q0 = (1,0,0,0): only w-blocks non-zero.
     gvec = -(grid.ginv @ grid.dn_in)
-    g_rhs = np.zeros((8 * P, 1), np.float32)
-    for h in range(2):
-        g_rhs[h * 4 * P:h * 4 * P + npts, 0] = gvec
+    g_rhs = np.zeros((4 * rpc * p_pad, 1), np.float32)
+    for h in range(rpc):
+        g_rhs[h * 4 * p_pad:h * 4 * p_pad + npts, 0] = gvec
     return w, ptab, g_rhs
+
+
+_PRECISIONS = {
+    "float32": "high",
+    "high": "high",
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _prepare(qes, cfg, tile):
+    qes = jnp.asarray(qes, jnp.float32)
+    b = qes.shape[0]
+    npts = cfg.grid.num_unknown
+    p_pad, rpc = _packing(npts)
+    if tile % rpc:
+        raise ValueError(f"tile ({tile}) must be divisible by rpc ({rpc})")
+    b_pad = -(-b // tile) * tile
+    if b_pad != b:
+        qes = jnp.pad(qes, ((0, b_pad - b), (0, 0)))
+    return qes, b, b_pad, npts, p_pad, rpc
 
 
 @functools.partial(
@@ -299,61 +272,91 @@ def _constants(cfg: rod_model.RodConfig, precision_tag):
 )
 def rod_shape_fused(qes, cfg: rod_model.RodConfig = rod_model.RodConfig(),
                     iters: int = 20, tile: int = DEFAULT_TILE,
-                    precision: str = "float32", interpret: bool = False):
+                    precision: str = "high", interpret: bool = False):
     """Batched fused rod solve: ``qes (B, na*ne) -> (Q (B, n-1, 4), r (B, n-1, 3))``.
 
     Semantics identical to ``rod_shape(..., method='picard')`` with
     ``q_init = (1,0,0,0)``, ``r_init = 0`` (the reference demo's boundary
     conditions, `main.cpp:106-154`); f32 storage, MXU pass count set by
     ``precision``.  ``B`` is padded to a multiple of ``tile`` internally.
+    Supports grids up to n-1 = 32 points.
     """
-    qes = jnp.asarray(qes, jnp.float32)
-    b = qes.shape[0]
-    grid = cfg.grid
-    npts = grid.num_unknown
-    P = _PTS_PAD
-
-    b_pad = -(-b // tile) * tile
-    if b_pad != b:
-        qes = jnp.pad(qes, ((0, b_pad - b), (0, 0)))
+    qes, b, b_pad, npts, p_pad, rpc = _prepare(qes, cfg, tile)
     n_tiles = b_pad // tile
-    half = tile // 2
+    half = tile // rpc
 
-    w, ptab, g_rhs = _constants(cfg, precision)
-    # TPU MXU pass count: 'default'=1x bf16, 'high'=3x emulated (f32-class
-    # products), 'highest'=6x full f32.  'high' is the accuracy/speed spot.
-    prec = {"float32": "high",
-            "high": "high",
-            "default": jax.lax.Precision.DEFAULT,
-            "highest": jax.lax.Precision.HIGHEST}[precision]
-    kernel = functools.partial(_kernel, iters=iters, ne=cfg.ne, precision=prec)
+    w, ptab, g_rhs = _constants(cfg, p_pad, rpc)
+    kernel = functools.partial(
+        _kernel, iters=iters, ne=cfg.ne,
+        precision=_PRECISIONS[precision], p_pad=p_pad, rpc=rpc,
+    )
+    out_spec = pl.BlockSpec((128, half), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
     q_out, r_out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((cfg.na * cfg.ne, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * P, 8 * P), lambda i: (0, 0),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, cfg.ne), lambda i: (0, 0),
+            pl.BlockSpec((p_pad, cfg.ne), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * P, 1), lambda i: (0, 0),
+            pl.BlockSpec((128, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((8 * P, half), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * P, half), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((8 * P, n_tiles * half), jnp.float32),
-            jax.ShapeDtypeStruct((8 * P, n_tiles * half), jnp.float32),
+            jax.ShapeDtypeStruct((128, n_tiles * half), jnp.float32),
+            jax.ShapeDtypeStruct((128, n_tiles * half), jnp.float32),
         ),
         interpret=interpret,
     )(qes.T, jnp.asarray(w), jnp.asarray(ptab), jnp.asarray(g_rhs))
 
     return (
-        unpack_state(q_out, b, npts, 4, tile),
-        unpack_state(r_out, b, npts, 3, tile),
+        unpack_state(q_out, b, npts, 4, tile, p_pad, rpc),
+        unpack_state(r_out, b, npts, 3, tile, p_pad, rpc),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "iters", "tile", "precision", "interpret")
+)
+def picard_correction_fused(qes, rhs, cfg: rod_model.RodConfig = rod_model.RodConfig(),
+                            iters: int = 20, tile: int = DEFAULT_TILE,
+                            precision: str = "high", interpret: bool = False):
+    """Fused solve of ``(I (x) Dn_NN - 1/2 A_hat(qe)) x = rhs`` per rod.
+
+    ``qes (B, na*ne)``, ``rhs (B, n-1, 4)`` -> ``x (B, n-1, 4)``.  Used as
+    the inner solver of iterative refinement (the residual supplies rhs).
+    """
+    rhs = jnp.asarray(rhs, jnp.float32)
+    qes, b, b_pad, npts, p_pad, rpc = _prepare(qes, cfg, tile)
+    n_tiles = b_pad // tile
+    half = tile // rpc
+
+    rhs_packed, _ = pack_state(rhs, tile, p_pad, rpc)
+    w, ptab, _ = _constants(cfg, p_pad, rpc)
+    kernel = functools.partial(
+        _corr_kernel, iters=iters, ne=cfg.ne,
+        precision=_PRECISIONS[precision], p_pad=p_pad, rpc=rpc,
+    )
+    x_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((cfg.na * cfg.ne, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, cfg.ne), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, half), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, half), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((128, n_tiles * half), jnp.float32),
+        interpret=interpret,
+    )(qes.T, jnp.asarray(w), jnp.asarray(ptab), rhs_packed)
+    return unpack_state(x_out, b, npts, 4, tile, p_pad, rpc)

@@ -38,7 +38,9 @@ def throughput(fn, *args, reps: int = 20, items: int | None = None):
             "throughput(fn): fn must return a 0-d scalar (reduce on device; "
             "see docstring re tunnel fetch pollution)"
         )
-    jax.block_until_ready(out)
+    # Warm up with a scalar FETCH: block_until_ready does not reliably block
+    # through tunneled backends, and a cold timing loop absorbs compile time.
+    _ = float(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)

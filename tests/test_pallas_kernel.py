@@ -71,11 +71,25 @@ def test_fused_rod_packing_independence():
 
 
 def test_fused_large_n_rejected():
-    with pytest.raises(ValueError, match="n-1 <= 16"):
+    with pytest.raises(ValueError, match="n-1 <= 32"):
         rod_kernel.rod_shape_fused(
-            jnp.zeros((4, 9), jnp.float32), cfg=rod.RodConfig(n=32),
+            jnp.zeros((4, 9), jnp.float32), cfg=rod.RodConfig(n=40),
             interpret=True,
         )
+
+
+@pytest.mark.parametrize("n", [8, 24, 33])
+def test_fused_other_grid_orders(n):
+    """Generalized packing: 4 rods/column (n<=9), 1 rod/column (n<=33)."""
+    rng = np.random.default_rng(7)
+    cfg = rod.RodConfig(n=n)
+    qes = jnp.asarray(rng.standard_normal((300, 9)), jnp.float32)
+    q, r = rod_kernel.rod_shape_fused(qes, cfg=cfg, tile=256, interpret=True)
+    ref = rod.rod_shape(qes, cfg=cfg, method="picard", iters=20)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ref.quaternions),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
+                               atol=5e-5)
 
 
 def test_rod_shape_method_fused():
