@@ -1,0 +1,140 @@
+"""Exact double-word matmuls via int8-plane (Ozaki-style) decomposition.
+
+The TPU MXU accumulates f32 matmuls in f32 (rounding at 2^-24), which
+makes double-word-accurate contractions impossible with float passes alone
+(DESIGN.md §7).  The int8 path is different: int8 x int8 -> int32
+accumulation is EXACT.  This module exploits that:
+
+* a constant double-word matrix ``A`` is decomposed host-side into fixed-
+  point planes ``A = sum_k 2^{eA - 7(k+1)} A_k`` with ``A_k`` int8 in
+  [-64, 64] (:func:`plane_decompose_const`);
+* a traced double-word operand ``x = x_hi + x_lo`` is decomposed on-device
+  into planes the same way (:func:`plane_decompose`), the f32 remainder
+  recurrence being exact (aligned subtractions);
+* ``A @ x`` is evaluated as ``sum_{k+m<=S} 2^{...} (A_k @ X_m)`` — int8 MXU
+  dots whose int32 partials are exact and small enough (< 2^24) to convert
+  to f32 exactly — and recombined with double-word adds
+  (:func:`matmul_dd`).
+
+The result is an ``A @ x`` with ~2^-47-level absolute accuracy using only
+MXU-friendly operations: the building block for exact residual evaluation
+in iterative refinement without VPU-heavy error-free transformations.
+
+Scaling note: operands must fit the fixed-point range ``|.| < 2^e``; plane
+counts and the pair budget ``S`` set the accuracy floor (see
+:func:`matmul_dd`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "plane_decompose_const",
+    "plane_decompose",
+    "matmul_dd",
+]
+
+_BITS = 7
+_BASE = float(2 ** _BITS)  # 128; plane payloads in [-64, 64]
+
+
+def plane_decompose_const(a: np.ndarray, num_planes: int = 8):
+    """Host-side exact fixed-point planes of an f64 matrix.
+
+    Returns ``(planes int8 (num_planes, *a.shape), exponent e)`` with
+    ``a = sum_k 2^{e} * planes[k] / 128^{k+1}`` up to ``2^{e-7*num_planes}``.
+    """
+    a = np.asarray(a, np.float64)
+    e = int(np.ceil(np.log2(np.max(np.abs(a)) + 1e-300))) + 1
+    r = a / (2.0 ** e)
+    planes = []
+    for _ in range(num_planes):
+        p = np.round(r * _BASE)
+        planes.append(p.astype(np.int8))
+        r = r * _BASE - p
+    assert np.max(np.abs(np.stack(planes))) <= 64
+    return np.stack(planes), e
+
+
+def plane_decompose(x, exponent: int, num_planes: int):
+    """On-device fixed-point planes of a single f32 word.
+
+    ``|x| < 0.99 * 2^exponent`` is required (values are NOT clamped — choose
+    the exponent from a mathematical bound on the operand).  The remainder
+    recurrence is exact: ``r*128`` is an exponent shift and ``r*128 - p``
+    with ``p = round(r*128)`` is exact by Sterbenz's lemma.
+    """
+    r = x * jnp.float32(2.0 ** (-exponent))
+    planes = []
+    for _ in range(num_planes):
+        p = jnp.round(r * _BASE)
+        planes.append(p.astype(jnp.int8))
+        r = r * _BASE - p
+    return planes
+
+
+def matmul_dd(const_planes, const_exp: int, x_hi, x_lo, x_exp: int,
+              pair_budget: int = 8, lo_pair_budget: int = 3):
+    """``A @ x`` to double-word accuracy via exact int8 MXU dots.
+
+    ``const_planes``: ``(KA, n, n)`` int8 from :func:`plane_decompose_const`;
+    ``x = x_hi + x_lo``: dd pair ``(n, cols)`` with ``|x| < 0.99 2^x_exp``.
+    The hi and lo words are decomposed SEPARATELY (their exponents are 24
+    apart, which does not align with the 7-bit plane grid): 4 planes each,
+    28 bits per word — enough to cover a 24-bit mantissa exactly.
+
+    Pairs kept: hi-word ``k + m <= pair_budget`` (~26 dots at the default),
+    lo-word ``k + m <= lo_pair_budget`` (~6 dots; the lo word starts 24 bits
+    down so deep planes are below the target).  Dropped-tail error is
+    ``O(2^{eA + eX - 7(pair_budget+2)})`` absolute.  int32 partials convert
+    to f32 exactly (``n <= 128``: level sums < 2^24).  Returns a dd pair.
+    """
+    from . import doubledouble as dd
+
+    ka = const_planes.shape[0]
+    const_planes = jnp.asarray(const_planes)
+
+    def dot(k, xm):
+        return jax.lax.dot_general(
+            const_planes[k], xm,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    # terms: list of (scale_exponent_float, int32 accumulation by level)
+    terms = {}
+
+    # 8 hi planes (56 bits below 2^x_exp) so even small-magnitude f32 values
+    # keep their full mantissa within the fixed-point window.
+    hi_planes = plane_decompose(x_hi, x_exp, 8)
+    base = const_exp + x_exp
+    for k in range(ka):
+        for m in range(8):
+            if k + m > pair_budget:
+                continue
+            key = base - _BITS * (k + m + 2)
+            d = dot(k, hi_planes[m])
+            terms[key] = d if key not in terms else terms[key] + d
+
+    if x_lo is not None:
+        lo_planes = plane_decompose(x_lo, x_exp - 24, 4)
+        base_lo = const_exp + x_exp - 24
+        for k in range(ka):
+            for m in range(4):
+                if k + m > lo_pair_budget:
+                    continue
+                key = base_lo - _BITS * (k + m + 2)
+                d = dot(k, lo_planes[m])
+                terms[key] = d if key not in terms else terms[key] + d
+
+    out_hi = jnp.zeros_like(x_hi)
+    out_lo = jnp.zeros_like(x_hi)
+    for key in sorted(terms, reverse=True):  # largest significance first
+        term = terms[key].astype(jnp.float32) * jnp.float32(2.0 ** key)
+        out_hi, out_lo = dd.dd_add_f32(out_hi, out_lo, term)
+    return out_hi, out_lo
