@@ -265,15 +265,24 @@ class RodSolution:
 def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
                             refine_steps: int = 2, tile: int = None,
                             precision: str = "high",
-                            interpret: bool = False) -> RodSolution:
+                            interpret: bool = False,
+                            single_kernel: bool | None = None) -> RodSolution:
     """Fastest accuracy-gated path: Pallas-fused f32 solves + double-word IR.
 
-    The base solve and every refinement correction run in the fused VMEM
-    kernel (ops/pallas/rod_kernel.py); only the cheap double-word residual
-    and the position quadrature run as XLA ops.  Boundary conditions are the
-    reference demo's (``q0 = (1,0,0,0)``, ``r0 = 0``, `main.cpp:106-154`).
-    Accuracy equals the XLA 'refined' path (~1e-13 rel); throughput is set
-    by the kernel.  ``qe`` may be a dd pair from :func:`split_strain`.
+    Two implementations:
+
+    * **single_kernel** (auto-selected for ``refine_steps=1``, na=3,
+      n-1<=32): the ENTIRE solve — Picard, exact int8-plane (Ozaki)
+      residual, correction, dd tangent, dd position — runs in ONE VMEM-
+      resident Pallas kernel (ops/pallas/refined_kernel.py).  ~27M solves/s
+      at ~5e-12 rel on v5e.
+    * staged: base + correction in the fused kernel
+      (ops/pallas/rod_kernel.py), dd residual and position quadrature as
+      XLA ops; supports any ``refine_steps``.
+
+    Boundary conditions are the reference demo's (``q0 = (1,0,0,0)``,
+    ``r0 = 0``, `main.cpp:106-154`).  ``qe`` may be a dd pair from
+    :func:`split_strain` for f64-grade input.
     """
     from ..ops.pallas import rod_kernel as rk
 
@@ -281,6 +290,24 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
         raise NotImplementedError(
             "rod_shape_refined_fused covers the Kirchhoff na=3 case; use "
             "method='picard'/'dense' for 6-DoF strains"
+        )
+    if single_kernel is None:
+        single_kernel = refine_steps == 1 and cfg.n - 1 <= 32
+    if single_kernel:
+        from ..ops.pallas import refined_kernel as rfk
+
+        qe_hi, qe_lo = _as_dd_input(qe)
+        kw2 = {"interpret": interpret}
+        if tile is not None:
+            kw2["tile"] = tile
+        q_hi, q_lo, r_hi, r_lo = rfk.rod_shape_refined_kernel(
+            qe_hi, qe_lo, cfg=cfg, iters=iters, **kw2
+        )
+        return RodSolution(
+            quaternions=q_hi + q_lo,
+            positions=r_hi + r_lo,
+            quaternions_dd=(q_hi, q_lo),
+            positions_dd=(r_hi, r_lo),
         )
     kw = {"interpret": interpret}
     if tile is not None:

@@ -1,0 +1,332 @@
+"""Fully-fused double-word-refined rod solve in ONE Pallas kernel.
+
+The staged refined pipeline (models/rod.rod_shape_refined_fused) pays HBM
+round trips and XLA-level double-word VPU work between its kernels: base
+solve -> (unpack) -> dd residual -> (pack) -> correction -> dd tangent ->
+quadrature.  This kernel keeps the ENTIRE accuracy-gated solve VMEM-resident:
+
+    f32 Picard (bf16x3 matmuls)
+      -> exact residual via int8-plane (Ozaki) MXU dots   [ops/ozaki.py math]
+      -> f32 Picard correction
+      -> double-word combine + tangent (VPU EFTs)
+      -> double-word position quadrature via a second Ozaki apply
+
+HBM sees ``qe`` in and four packed dd outputs.  The two Ozaki applications
+are the key: the residual's point-axis contraction and the position
+integration both need ~2^-45-exact contractions, impossible with f32 MXU
+accumulators; int8 x int8 -> int32 accumulation is exact, and int32 level
+sums (< 2^24 here) convert to f32 exactly.
+
+Packing, precision emulation, and the A(K) action are shared with
+``rod_kernel.py``.  Accuracy: ~1e-11 rel vs the f64 oracle with one
+refinement (the IR contraction is (picard err)^2 ~ 1e-10); boundary
+conditions are the reference demo's (q0 = (1,0,0,0), r0 = 0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models import rod as rod_model
+from .. import ozaki
+from . import rod_kernel as rk
+
+__all__ = ["rod_shape_refined_kernel"]
+
+_BASE = 128.0
+_BITS = 7
+
+
+def _decompose_planes(x, exponent: int, num_planes: int):
+    """In-kernel fixed-point int8 planes (exact recurrences; ozaki.py math)."""
+    r = x * jnp.float32(2.0 ** (-exponent))
+    planes = []
+    for _ in range(num_planes):
+        p = jnp.round(r * _BASE)
+        planes.append(p.astype(jnp.int8))
+        r = r * _BASE - p
+    return planes
+
+
+def _ozaki_apply(planes_ref, const_exp, x_hi, x_lo, x_exp,
+                 pair_budget=7, lo_pair_budget=3):
+    """dd-accurate ``A @ x`` from in-VMEM int8 planes of the constant.
+
+    ``planes_ref``: (KA, 128, 128) int8 ref.  Mirrors ozaki.matmul_dd but
+    runs entirely on VMEM-resident data.
+    """
+    from .. import doubledouble as dd
+
+    ka = planes_ref.shape[0]
+
+    def dot(k, xm):
+        return jax.lax.dot_general(
+            planes_ref[k], xm,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    terms = {}
+    hi_planes = _decompose_planes(x_hi, x_exp, 8)
+    base = const_exp + x_exp
+    for k in range(ka):
+        for m in range(8):
+            if k + m > pair_budget:
+                continue
+            key = base - _BITS * (k + m + 2)
+            d = dot(k, hi_planes[m])
+            terms[key] = d if key not in terms else terms[key] + d
+    if x_lo is not None:
+        lo_planes = _decompose_planes(x_lo, x_exp - 24, 4)
+        base_lo = base - 24
+        for k in range(ka):
+            for m in range(4):
+                if k + m > lo_pair_budget:
+                    continue
+                key = base_lo - _BITS * (k + m + 2)
+                d = dot(k, lo_planes[m])
+                terms[key] = d if key not in terms else terms[key] + d
+
+    out_hi = jnp.zeros_like(x_hi)
+    out_lo = jnp.zeros_like(x_hi)
+    for key in sorted(terms, reverse=True):
+        term = terms[key].astype(jnp.float32) * jnp.float32(2.0 ** key)
+        out_hi, out_lo = dd.dd_add_f32(out_hi, out_lo, term)
+    return out_hi, out_lo
+
+
+def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
+            rhs_hi_ref, rhs_lo_ref, wd_planes_ref, wg_planes_ref,
+            q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref, *,
+            iters, corr_iters, ne, p_pad, rpc, wd_exp, wg_exp):
+    from .. import doubledouble as dd
+
+    bt = qe_ref.shape[1]
+    half = bt // rpc
+
+    mm = rk._make_mm("high")
+
+    # Curvature in dd, EXACTLY: K/2 = (P_hi + P_lo) qe with the 1/2 folded
+    # into the table.  ne=3 terms, so the contraction is done on the VPU
+    # with error-free transformations (an MXU bf16x3 matmul would poison
+    # the residual at ~2^-21).  Outer-product broadcasts: (p_pad,1)x(1,B_t).
+    # qe_ref rows: [qe_hi (na*ne) ; qe_lo (na*ne)] — the lo rows carry
+    # f64-grade strain input onto the chip (zeros for plain f32 input).
+    p_hi = ptab_hi_ref[:, :]
+    p_lo = ptab_lo_ref[:, :]
+    nq = 3 * ne
+    k_hi, k_lo = [], []
+    for a in range(3):
+        acc_h = acc_l = None
+        for e in range(ne):
+            row_hi = qe_ref[a * ne + e:a * ne + e + 1, :]
+            row_lo = qe_ref[nq + a * ne + e:nq + a * ne + e + 1, :]
+            ph, pe = dd.two_prod(p_hi[:, e:e + 1], row_hi)
+            pe = pe + p_lo[:, e:e + 1] * row_hi + p_hi[:, e:e + 1] * row_lo
+            if acc_h is None:
+                acc_h, acc_l = ph, pe
+            else:
+                acc_h, acc_l = dd.dd_add(acc_h, acc_l, ph, pe)
+        k_hi.append(acc_h)
+        k_lo.append(acc_l)
+    kh = [[ki[:, h * half:(h + 1) * half] for ki in k_hi] for h in range(rpc)]
+    kh_lo = [[ki[:, h * half:(h + 1) * half] for ki in k_lo]
+             for h in range(rpc)]
+    a_apply = rk._make_a_apply(kh, p_pad)
+
+    w = w_ref[:, :]
+    g_rhs = g_rhs_ref[:, :]
+
+    # --- stage 1: f32 Picard base solve ---
+    s = jnp.broadcast_to(g_rhs, (4 * rpc * p_pad, half))
+    for _ in range(iters):
+        s = g_rhs + mm(w, a_apply(s))
+
+    # --- stage 2: exact residual r = rhs - D s + (1/2)A(K) s ---
+    dn_s_hi, dn_s_lo = _ozaki_apply(wd_planes_ref, wd_exp, s, None, 2)
+    # (1/2)A(K)s in dd: per-block EFT products (the 1/2 lives in kh already).
+    ak_blocks_hi, ak_blocks_lo = [], []
+    for h in range(rpc):
+        k0h, k1h, k2h = kh[h]
+        k0l, k1l, k2l = kh_lo[h]
+        sw, sx, sy, sz = rk._component_slices(s, h, p_pad)
+
+        def prod(khh, khl, sv):
+            ph, pe = dd.two_prod(khh, sv)
+            return ph, pe + khl * sv
+
+        def comb(sign0, t0, sign1, t1, sign2, t2):
+            h0, l0 = dd.dd_scale(*t0, sign0)
+            h0, l0 = dd.dd_add(h0, l0, *dd.dd_scale(*t1, sign1))
+            return dd.dd_add(h0, l0, *dd.dd_scale(*t2, sign2))
+
+        rows = [
+            comb(-1.0, prod(k0h, k0l, sx), -1.0, prod(k1h, k1l, sy),
+                 -1.0, prod(k2h, k2l, sz)),
+            comb(+1.0, prod(k0h, k0l, sw), +1.0, prod(k2h, k2l, sy),
+                 -1.0, prod(k1h, k1l, sz)),
+            comb(+1.0, prod(k1h, k1l, sw), -1.0, prod(k2h, k2l, sx),
+                 +1.0, prod(k0h, k0l, sz)),
+            comb(+1.0, prod(k2h, k2l, sw), +1.0, prod(k1h, k1l, sx),
+                 -1.0, prod(k0h, k0l, sy)),
+        ]
+        ak_blocks_hi += [r[0] for r in rows]
+        ak_blocks_lo += [r[1] for r in rows]
+    ak_hi = jnp.concatenate(ak_blocks_hi, axis=0)
+    ak_lo = jnp.concatenate(ak_blocks_lo, axis=0)
+
+    r_hi, r_lo = dd.dd_add(rhs_hi_ref[:, :], rhs_lo_ref[:, :],
+                           -dn_s_hi, -dn_s_lo)
+    r_hi, r_lo = dd.dd_add(r_hi, r_lo, ak_hi, ak_lo)
+
+    # --- stage 3: f32 Picard correction, dd combine ---
+    # W here is the FULL I (x) G~ (the 1/2 lives in the halved K table), so
+    # the preconditioned rhs is W res directly.
+    res = r_hi + r_lo
+    g_res = mm(w, res)
+    delta = g_res
+    for _ in range(corr_iters):
+        delta = g_res + mm(w, a_apply(delta))
+    x_hi, x_lo = dd.two_sum(s, delta)
+    q_hi_ref[:, :] = x_hi
+    q_lo_ref[:, :] = x_lo
+
+    # --- stage 4: dd tangent (x2, so I (x) G/2 integrates it) ---
+    tb_hi, tb_lo = [], []
+    for h in range(rpc):
+        sw_h, sx_h, sy_h, sz_h = rk._component_slices(x_hi, h, p_pad)
+        sw_l, sx_l, sy_l, sz_l = rk._component_slices(x_lo, h, p_pad)
+        yy = dd.dd_mul(sy_h, sy_l, sy_h, sy_l)
+        zz = dd.dd_mul(sz_h, sz_l, sz_h, sz_l)
+        xy = dd.dd_mul(sx_h, sx_l, sy_h, sy_l)
+        wz = dd.dd_mul(sw_h, sw_l, sz_h, sz_l)
+        xz = dd.dd_mul(sx_h, sx_l, sz_h, sz_l)
+        wy = dd.dd_mul(sw_h, sw_l, sy_h, sy_l)
+        one2 = jnp.full_like(sw_h, 2.0)
+        t0 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -4.0), one2)
+        t1 = dd.dd_scale(*dd.dd_add(*xy, *wz), 4.0)
+        t2 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 4.0)
+        zero = jnp.zeros_like(sw_h)
+        tb_hi += [t0[0], t1[0], t2[0], zero]
+        tb_lo += [t0[1], t1[1], t2[1], zero]
+    b_hi = jnp.concatenate(tb_hi, axis=0)
+    b_lo = jnp.concatenate(tb_lo, axis=0)
+
+    # --- stage 5: dd position via second Ozaki apply (W_G = I (x) G~/2) ---
+    pos_hi, pos_lo = _ozaki_apply(wg_planes_ref, wg_exp, b_hi, b_lo, 3)
+    r_hi_ref[:, :] = pos_hi
+    r_lo_ref[:, :] = pos_lo
+
+
+@functools.lru_cache(maxsize=None)
+def _refined_constants(cfg: rod_model.RodConfig, p_pad: int, rpc: int):
+    grid = cfg.grid
+    npts = grid.num_unknown
+    _, _, g_rhs = rk._constants(cfg, p_pad, rpc)
+
+    # FULL W = I (x) G~ (no 1/2: the ODE's 1/2 is folded into the K table
+    # instead, so a_apply(s) IS (1/2) A(K) s and every G application here
+    # uses the plain integration operator).
+    g_pad0 = np.zeros((p_pad, p_pad))
+    g_pad0[:npts, :npts] = grid.ginv
+    w = np.kron(np.eye(4 * rpc), g_pad0).astype(np.float32)
+
+    # dd basis table split, with the 1/2 folded in.
+    ptab64 = np.zeros((p_pad, cfg.ne))
+    ptab64[:npts] = cfg.basis_table
+    ptab64 *= 0.5
+    ptab_hi = ptab64.astype(np.float32)
+    ptab_lo = (ptab64 - ptab_hi.astype(np.float64)).astype(np.float32)
+
+    # dd rhs = -(dn_in (x) q0) pattern.
+    rhs64 = np.zeros((4 * rpc * p_pad, 1))
+    for h in range(rpc):
+        rhs64[h * 4 * p_pad:h * 4 * p_pad + npts, 0] = -grid.dn_in
+    rhs_hi = rhs64.astype(np.float32)
+    rhs_lo = (rhs64 - rhs_hi.astype(np.float64)).astype(np.float32)
+
+    # int8 planes of W_D = I (x) D~  and  W_G = I (x) (G~/2), in f64.
+    d_pad = np.zeros((p_pad, p_pad))
+    d_pad[:npts, :npts] = grid.dn_nn
+    wd = np.kron(np.eye(4 * rpc), d_pad)
+    wd_planes, wd_exp = ozaki.plane_decompose_const(wd)
+
+    g_pad = np.zeros((p_pad, p_pad))
+    g_pad[:npts, :npts] = grid.ginv
+    wg = np.kron(np.eye(4 * rpc), 0.5 * g_pad)
+    wg_planes, wg_exp = ozaki.plane_decompose_const(wg)
+
+    return (w, ptab_hi, ptab_lo, g_rhs, rhs_hi, rhs_lo,
+            wd_planes, int(wd_exp), wg_planes, int(wg_exp))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "iters", "corr_iters", "tile", "interpret"),
+)
+def rod_shape_refined_kernel(qes, qes_lo=None,
+                             cfg: rod_model.RodConfig = rod_model.RodConfig(),
+                             iters: int = 20, corr_iters: int = 16,
+                             tile: int = rk.DEFAULT_TILE,
+                             interpret: bool = False):
+    """Fully-fused refined solve.
+
+    ``qes (B, na*ne)`` (+ optional low word ``qes_lo`` from
+    ``rod.split_strain`` for f64-grade input) ->
+    ``(q_hi, q_lo, r_hi, r_lo)`` each ``(B, n-1, dim)`` — double-word
+    quaternions and positions, ~1e-11 relative vs the f64 reference.
+    """
+    qes, b, b_pad, npts, p_pad, rpc = rk._prepare(qes, cfg, tile)
+    if qes_lo is None:
+        qes_lo = jnp.zeros_like(qes)
+    else:
+        qes_lo = jnp.asarray(qes_lo, jnp.float32)
+        if qes_lo.shape[0] != b_pad:
+            qes_lo = jnp.pad(qes_lo, ((0, b_pad - qes_lo.shape[0]), (0, 0)))
+    qes = jnp.concatenate([qes, qes_lo], axis=1)   # (B_pad, 2*na*ne)
+    n_tiles = b_pad // tile
+    half = tile // rpc
+
+    (w, ptab_hi, ptab_lo, g_rhs, rhs_hi, rhs_lo,
+     wd_planes, wd_exp, wg_planes, wg_exp) = _refined_constants(
+        cfg, p_pad, rpc)
+
+    kernel = functools.partial(
+        _kernel, iters=iters, corr_iters=corr_iters, ne=cfg.ne,
+        p_pad=p_pad, rpc=rpc, wd_exp=wd_exp, wg_exp=wg_exp,
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((128, half), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((128, n_tiles * half), jnp.float32)
+    q_hi, q_lo, r_hi, r_lo = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((2 * cfg.na * cfg.ne, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            const((128, 128)),
+            const((p_pad, cfg.ne)),
+            const((p_pad, cfg.ne)),
+            const((128, 1)),
+            const((128, 1)),
+            const((128, 1)),
+            const((wd_planes.shape[0], 128, 128)),
+            const((wg_planes.shape[0], 128, 128)),
+        ],
+        out_specs=(out_spec,) * 4,
+        out_shape=(out_shape,) * 4,
+        interpret=interpret,
+    )(qes.T, jnp.asarray(w), jnp.asarray(ptab_hi), jnp.asarray(ptab_lo),
+      jnp.asarray(g_rhs), jnp.asarray(rhs_hi), jnp.asarray(rhs_lo),
+      jnp.asarray(wd_planes), jnp.asarray(wg_planes))
+
+    up = lambda o, c: rk.unpack_state(o, b, npts, c, tile, p_pad, rpc)
+    return up(q_hi, 4), up(q_lo, 4), up(r_hi, 3), up(r_lo, 3)
