@@ -272,7 +272,7 @@ def _refined_constants(cfg: rod_model.RodConfig, p_pad: int, rpc: int):
 )
 def rod_shape_refined_kernel(qes, qes_lo=None,
                              cfg: rod_model.RodConfig = rod_model.RodConfig(),
-                             iters: int = 20, corr_iters: int = 16,
+                             iters: int = 18, corr_iters: int = 12,
                              tile: int = rk.DEFAULT_TILE,
                              interpret: bool = False):
     """Fully-fused refined solve.
