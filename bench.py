@@ -22,7 +22,8 @@ import numpy as np
 def _measure(fn, arg, reps: int | None = None):
     import jax
 
-    reps = reps or int(os.environ.get("BENCH_REPS", 20))
+    if reps is None:
+        reps = int(os.environ.get("BENCH_REPS", 20))
     out = fn(arg)
     assert out.ndim == 0, "bench fns must reduce to a scalar on device"
     # scalar fetch = real sync (block_until_ready is unreliable over tunnel)

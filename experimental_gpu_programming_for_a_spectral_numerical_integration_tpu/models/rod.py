@@ -266,7 +266,8 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
                             refine_steps: int = 2, tile: int = None,
                             precision: str = "high",
                             interpret: bool = False,
-                            single_kernel: bool | None = None) -> RodSolution:
+                            single_kernel: bool | None = None,
+                            corr_iters: int | None = None) -> RodSolution:
     """Fastest accuracy-gated path: Pallas-fused f32 solves + double-word IR.
 
     Two implementations:
@@ -292,14 +293,29 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
             "method='picard'/'dense' for 6-DoF strains"
         )
     if single_kernel is None:
-        single_kernel = refine_steps == 1 and cfg.n - 1 <= 32
+        # Auto-select only when the single kernel can honor every request:
+        # it performs exactly one refinement at 'high' matmul precision.
+        single_kernel = (refine_steps == 1 and cfg.n - 1 <= 32
+                         and precision == "high")
     if single_kernel:
+        if refine_steps != 1:
+            raise ValueError(
+                "single_kernel performs exactly one refinement; use "
+                "single_kernel=False for other refine_steps"
+            )
+        if precision != "high":
+            raise ValueError(
+                "single_kernel runs at 'high' (bf16x3) matmul precision; "
+                "use single_kernel=False to select another precision"
+            )
         from ..ops.pallas import refined_kernel as rfk
 
         qe_hi, qe_lo = _as_dd_input(qe)
         kw2 = {"interpret": interpret}
         if tile is not None:
             kw2["tile"] = tile
+        if corr_iters is not None:
+            kw2["corr_iters"] = corr_iters
         q_hi, q_lo, r_hi, r_lo = rfk.rod_shape_refined_kernel(
             qe_hi, qe_lo, cfg=cfg, iters=iters, **kw2
         )

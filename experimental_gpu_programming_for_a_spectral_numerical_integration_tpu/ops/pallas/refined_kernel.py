@@ -39,66 +39,14 @@ from . import rod_kernel as rk
 
 __all__ = ["rod_shape_refined_kernel"]
 
-_BASE = 128.0
-_BITS = 7
-
-
-def _decompose_planes(x, exponent: int, num_planes: int):
-    """In-kernel fixed-point int8 planes (exact recurrences; ozaki.py math)."""
-    r = x * jnp.float32(2.0 ** (-exponent))
-    planes = []
-    for _ in range(num_planes):
-        p = jnp.round(r * _BASE)
-        planes.append(p.astype(jnp.int8))
-        r = r * _BASE - p
-    return planes
-
-
-def _ozaki_apply(planes_ref, const_exp, x_hi, x_lo, x_exp,
-                 pair_budget=7, lo_pair_budget=3):
+def _ozaki_apply(planes_ref, const_exp, x_hi, x_lo, x_exp, pair_budget=7):
     """dd-accurate ``A @ x`` from in-VMEM int8 planes of the constant.
 
-    ``planes_ref``: (KA, 128, 128) int8 ref.  Mirrors ozaki.matmul_dd but
-    runs entirely on VMEM-resident data.
+    Reads the (KA, 128, 128) int8 ref into VMEM-resident values and reuses
+    ozaki.matmul_dd — pure jnp, so it traces inside the kernel unchanged.
     """
-    from .. import doubledouble as dd
-
-    ka = planes_ref.shape[0]
-
-    def dot(k, xm):
-        return jax.lax.dot_general(
-            planes_ref[k], xm,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-
-    terms = {}
-    hi_planes = _decompose_planes(x_hi, x_exp, 8)
-    base = const_exp + x_exp
-    for k in range(ka):
-        for m in range(8):
-            if k + m > pair_budget:
-                continue
-            key = base - _BITS * (k + m + 2)
-            d = dot(k, hi_planes[m])
-            terms[key] = d if key not in terms else terms[key] + d
-    if x_lo is not None:
-        lo_planes = _decompose_planes(x_lo, x_exp - 24, 4)
-        base_lo = base - 24
-        for k in range(ka):
-            for m in range(4):
-                if k + m > lo_pair_budget:
-                    continue
-                key = base_lo - _BITS * (k + m + 2)
-                d = dot(k, lo_planes[m])
-                terms[key] = d if key not in terms else terms[key] + d
-
-    out_hi = jnp.zeros_like(x_hi)
-    out_lo = jnp.zeros_like(x_hi)
-    for key in sorted(terms, reverse=True):
-        term = terms[key].astype(jnp.float32) * jnp.float32(2.0 ** key)
-        out_hi, out_lo = dd.dd_add_f32(out_hi, out_lo, term)
-    return out_hi, out_lo
+    return ozaki.matmul_dd(planes_ref[:, :, :], const_exp, x_hi, x_lo,
+                           x_exp, pair_budget=pair_budget)
 
 
 def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
@@ -272,7 +220,7 @@ def _refined_constants(cfg: rod_model.RodConfig, p_pad: int, rpc: int):
 )
 def rod_shape_refined_kernel(qes, qes_lo=None,
                              cfg: rod_model.RodConfig = rod_model.RodConfig(),
-                             iters: int = 18, corr_iters: int = 12,
+                             iters: int = 20, corr_iters: int = 20,
                              tile: int = rk.DEFAULT_TILE,
                              interpret: bool = False):
     """Fully-fused refined solve.
@@ -281,6 +229,14 @@ def rod_shape_refined_kernel(qes, qes_lo=None,
     ``rod.split_strain`` for f64-grade input) ->
     ``(q_hi, q_lo, r_hi, r_lo)`` each ``(B, n-1, dim)`` — double-word
     quaternions and positions, ~1e-11 relative vs the f64 reference.
+
+    **Validity domain**: rho = max|K| L / 2 <~ 5 (i.e. |K| L <= 10) with the
+    default iteration counts — beyond that the Picard series' transient
+    growth both stalls convergence AND can exceed the int8 fixed-point
+    window of the exact residual (|state| < 4), which wraps silently.  For
+    stronger curvature increase ``iters``/``corr_iters``, use the staged
+    path with more refinement steps, or split the rod into segments
+    (models/segments.py); see diagnostics.picard_iterations_needed.
     """
     qes, b, b_pad, npts, p_pad, rpc = rk._prepare(qes, cfg, tile)
     if qes_lo is None:

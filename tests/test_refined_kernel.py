@@ -62,3 +62,29 @@ def test_single_kernel_autoselect_matches_staged():
                                          interpret=True, single_kernel=False)
     np.testing.assert_allclose(staged.positions_f64(), auto.positions_f64(),
                                atol=1e-9)
+
+
+def test_moderate_curvature_within_gate():
+    """Regression: rho = |K| L / 2 = 5 must stay under the 1e-8 gate with
+    the default iteration counts (corr_iters=12 broke this once)."""
+    qe = np.zeros(9)
+    qe[3] = 10.0
+    q_ref, r_ref = oracle.integrate_position(qe)
+    qes = jnp.tile(jnp.asarray(qe, jnp.float32), (64, 1))
+    sol = rod.rod_shape_refined_fused(qes, refine_steps=1, tile=64,
+                                      interpret=True)
+    rel = np.max(np.abs(sol.positions_f64()[0] - r_ref)) / np.max(np.abs(r_ref))
+    assert rel < 1e-8, rel
+
+
+def test_precision_request_respected():
+    """precision != 'high' must not silently route to the single kernel."""
+    qes = jnp.zeros((64, 9), jnp.float32)
+    sol = rod.rod_shape_refined_fused(qes, refine_steps=1, tile=64,
+                                      interpret=True, precision="highest")
+    assert sol.positions_dd is not None
+    import pytest
+
+    with pytest.raises(ValueError, match="high"):
+        rod.rod_shape_refined_fused(qes, refine_steps=1, single_kernel=True,
+                                    precision="highest")
