@@ -174,7 +174,10 @@ def quaternion_kinematics(qe, q_init=None, cfg: RodConfig = RodConfig(),
         return coll.solve_ivp_dense(grid, m, q_init)
     if method == "picard":
         m = _ode_blocks(curvature_at_points(cfg, qe_arr)[..., :3])
-        return coll.solve_ivp_picard(grid, m, q_init, iters=iters)
+        # implicit-function-theorem custom JVP: Newton/gradient flows pay one
+        # extra solve per tangent instead of differentiating the iteration
+        rhs = coll.ivp_rhs(grid, q_init)
+        return coll.solve_ivp_picard_implicit(grid, m, rhs, iters)
     if method == "refined":
         k_hi, k_lo = _curvature_dd(cfg, qe)
         m_hi, m_lo = _ode_blocks(k_hi), _ode_blocks(k_lo)

@@ -51,6 +51,7 @@ import functools
 from dataclasses import dataclass, field
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import chebyshev
@@ -65,6 +66,7 @@ __all__ = [
     "collocation_matrix",
     "solve_ivp_dense",
     "solve_ivp_picard",
+    "solve_ivp_picard_implicit",
     "solve_ivp_refined",
     "quadrature_refined",
     "residual_dd",
@@ -225,6 +227,34 @@ def solve_ivp_picard(grid: SpectralGrid, m_blocks, y0=None, g=None, rhs=None,
     for _ in range(iters):
         chi = g_rhs + _apply_grid_matmul(ginv, _apply_point_blocks(m_blocks, chi))
     return chi
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 3))
+def solve_ivp_picard_implicit(grid: SpectralGrid, m_blocks, rhs,
+                              iters: int = 24):
+    """Picard solve with implicit-function-theorem differentiation.
+
+    Same primal as :func:`solve_ivp_picard` (rhs form), but instead of
+    differentiating through the unrolled iteration, the tangent rule uses
+    the IFT on ``A(m) x = rhs``:
+
+        A dx = drhs + dM_hat x     =>     dx = solve(m, drhs + dM_hat x)
+
+    — ONE extra Picard solve per tangent instead of ``iters`` differentiated
+    matmul chains (SURVEY.md §7 'differentiability for the Newton BVP loop').
+    Used by the statics Newton Jacobian; forward-mode (jacfwd) ready.
+    """
+    return solve_ivp_picard(grid, m_blocks, rhs=rhs, iters=iters)
+
+
+@solve_ivp_picard_implicit.defjvp
+def _solve_ivp_picard_implicit_jvp(grid, iters, primals, tangents):
+    m_blocks, rhs = primals
+    dm, drhs = tangents
+    x = solve_ivp_picard(grid, m_blocks, rhs=rhs, iters=iters)
+    tangent_rhs = drhs + _apply_point_blocks(dm, x)
+    dx = solve_ivp_picard(grid, m_blocks, rhs=tangent_rhs, iters=iters)
+    return x, dx
 
 
 def residual_dd(grid: SpectralGrid, m_dd, x_hi, x_lo, rhs_hi, rhs_lo):

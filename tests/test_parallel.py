@@ -83,3 +83,26 @@ def test_entry_compiles():
     q, r = out
     assert q.shape == (256, 15, 4)
     assert r.shape == (256, 15, 3)
+
+
+def test_implicit_jvp_matches_unrolled_differentiation():
+    """IFT custom JVP == differentiating through the unrolled iteration."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import (
+        collocation as coll,
+    )
+
+    grid = CFG.grid
+    rng = np.random.default_rng(11)
+    m = jnp.asarray(rng.standard_normal((CFG.n - 1, 4, 4)) * 0.3)
+    rhs = jnp.asarray(rng.standard_normal((CFG.n - 1, 4)))
+
+    def f_implicit(mm):
+        return coll.solve_ivp_picard_implicit(grid, mm, rhs, 30)
+
+    def f_unrolled(mm):
+        return coll.solve_ivp_picard(grid, mm, rhs=rhs, iters=30)
+
+    j1 = jax.jacfwd(f_implicit)(m)
+    j2 = jax.jacfwd(f_unrolled)(m)
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j2),
+                               rtol=1e-7, atol=1e-9)
