@@ -100,16 +100,27 @@ class SpectralGrid:
 
 
 @functools.lru_cache(maxsize=None)
-def make_grid(n: int, length: float = 1.0) -> SpectralGrid:
+def make_grid(n: int, length: float = 1.0, known: str = "last") -> SpectralGrid:
+    """Build the static spectral operators.
+
+    ``known='last'`` (default): the boundary value sits at the LAST grid
+    point ``x[n-1] = 0`` — the reference's IVP case (`main.cpp:94-95`);
+    unknowns are points ``0..n-2`` (tip first).
+
+    ``known='first'``: the boundary value sits at ``x[0] = L`` — a
+    *terminal*-value problem integrated backward from the tip (the pdf's
+    eq. 3.9-3.16 permutation-matrix general case, which the reference
+    hard-codes away); unknowns are points ``1..n-1``.
+    """
     points = chebyshev.cgl_points(n, length)
     dn = chebyshev.diff_matrix(n, length)
-    dn_nn, dn_in = chebyshev.split_endpoint(dn, known="last")
+    dn_nn, dn_in = chebyshev.split_endpoint(dn, known=known)
     dn_in = dn_in[:, 0]
-    ginv = chebyshev.integration_matrix(n, length)
+    ginv = chebyshev.integration_matrix(n, length, known=known)
     return SpectralGrid(
         n=n,
         length=float(length),
-        points=points,
+        points=points,  # full grid; unknowns are [:-1] ('last') or [1:] ('first')
         dn=dn,
         dn_nn=dn_nn,
         dn_in=dn_in,

@@ -104,3 +104,20 @@ def test_cached_constants_are_frozen():
                 chebyshev.clenshaw_curtis_weights(16)):
         with pytest.raises(ValueError):
             arr[0] = 0.0
+
+
+def test_terminal_value_grid():
+    """known='first': integrate a terminal-value problem backward from the
+    tip — the pdf's permutation general case the reference hard-codes away."""
+    import jax.numpy as jnp
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import (
+        collocation as coll,
+    )
+
+    n, lam, y_end = 16, -1.7, 2.0
+    grid = coll.make_grid(n, known="first")
+    m = jnp.full((n - 1, 1, 1), lam, jnp.float64)
+    sol = coll.solve_ivp_dense(grid, m, jnp.asarray([y_end], jnp.float64))
+    x_unknown = grid.points[1:]
+    exact = y_end * np.exp(lam * (x_unknown - 1.0))  # y(L)=y_end at x[0]=1
+    np.testing.assert_allclose(np.asarray(sol[:, 0]), exact, rtol=1e-11)
