@@ -135,12 +135,14 @@ class SegmentedSolution:
 
 def segmented_rod_shape(qe_segments, cfg: SegmentedRodConfig, q_init=None,
                         r_init=None, method: str = "picard",
-                        iters: int = 24) -> SegmentedSolution:
+                        iters: int = 24, **method_kwargs) -> SegmentedSolution:
     """Chained spectral solve over all segments.
 
     ``qe_segments``: ``(..., S, na*ne)`` per-segment strain modes (see
     :func:`project_global_strain`).  Continuity at junctions is exact by
-    construction.
+    construction.  ``method='fused'`` chains segments through the Pallas
+    kernel's general-BC entry point (``rod_shape_fused_bc``) — each
+    segment's junction state rides the lanes, batch stays VMEM-resident.
     """
     qe_segments = jnp.asarray(qe_segments)
     lead = qe_segments.shape[:-2]
@@ -156,8 +158,17 @@ def segmented_rod_shape(qe_segments, cfg: SegmentedRodConfig, q_init=None,
     )
     qs, rs, jq, jr = [], [], [], []
     for s, seg in enumerate(cfg.segments):
-        sol = rod.rod_shape(qe_segments[..., s, :], q_init=q, r_init=r,
-                            cfg=seg, method=method, iters=iters)
+        if method == "fused":
+            from ..ops.pallas import rod_kernel as rk
+
+            seg_q, seg_r = rk.rod_shape_fused_bc(
+                qe_segments[..., s, :], q, r, cfg=seg, iters=iters,
+                **method_kwargs,
+            )
+            sol = rod.RodSolution(quaternions=seg_q, positions=seg_r)
+        else:
+            sol = rod.rod_shape(qe_segments[..., s, :], q_init=q, r_init=r,
+                                cfg=seg, method=method, iters=iters)
         qs.append(sol.quaternions)
         rs.append(sol.positions)
         q = sol.tip_quaternion

@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...models import rod as rod_model
 
-__all__ = ["rod_shape_fused", "picard_correction_fused", "DEFAULT_TILE"]
+__all__ = ["rod_shape_fused", "rod_shape_fused_bc", "picard_correction_fused",
+           "DEFAULT_TILE"]
 
 # Measured on v5e (B=131072, n=16): tile=2048 -> ~50-59M solves/s ('high'),
 # tile=1024 within ~8%.  Benchmark note: warm up with a SCALAR fetch —
@@ -175,6 +176,54 @@ def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
             jnp.zeros_like(sw),
         ]
     r_out_ref[:, :] = mm(w, jnp.concatenate(blocks, axis=0))
+
+
+def _kernel_bc(qe_ref, w_ref, ptab_ref, dn_in_ref, q0_ref, r0_ref,
+               q_out_ref, r_out_ref, *, iters, ne, precision, p_pad, rpc):
+    """General-boundary-condition variant: per-rod ``q_init`` / ``r_init``.
+
+    ``q0_ref (4, B_t)``, ``r0_ref (4, B_t)`` (row 3 zero-padded) carry the
+    junction state — this is what lets multi-segment rods chain through the
+    fused path (models/segments.py, method='fused').  rhs blocks are built
+    in-kernel as outer products ``-dn_in (x) q0``.
+    """
+    bt = qe_ref.shape[1]
+    half = bt // rpc
+
+    mm = _make_mm(precision)
+    kh = _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc)
+    a_apply = _make_a_apply(kh, p_pad)
+    w = w_ref[:, :]
+    din = dn_in_ref[:, :]               # (p_pad, 1)
+
+    def outer_rhs(vec_ref, scale):
+        """blocks[-scale * dn_in * vec_c per rod slot] -> (128, half)."""
+        blocks = []
+        for h in range(rpc):
+            for c in range(4):
+                row = vec_ref[c:c + 1, h * half:(h + 1) * half]  # (1, half)
+                blocks.append(scale * din * row)
+        return jnp.concatenate(blocks, axis=0)
+
+    # g_rhs = (I (x) G)(-dn_in (x) q0) = W (2 * rhs)   [W carries G/2]
+    g_rhs = mm(w, outer_rhs(q0_ref, -2.0))
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(w, a_apply(s))
+    q_out_ref[:, :] = s
+
+    # position: r = G (b - dn_in (x) r0) = W (2b - 2 dn_in (x) r0)
+    blocks = []
+    for h in range(rpc):
+        sw, sx, sy, sz = _component_slices(s, h, p_pad)
+        blocks += [
+            2.0 - 4.0 * (sy * sy + sz * sz),
+            4.0 * (sx * sy + sw * sz),
+            4.0 * (sx * sz - sw * sy),
+            jnp.zeros_like(sw),
+        ]
+    tb = jnp.concatenate(blocks, axis=0) + outer_rhs(r0_ref, -2.0)
+    r_out_ref[:, :] = mm(w, tb)
 
 
 def _corr_kernel(qe_ref, w_ref, ptab_ref, rhs_ref, x_out_ref, *,
@@ -360,3 +409,71 @@ def picard_correction_fused(qes, rhs, cfg: rod_model.RodConfig = rod_model.RodCo
         interpret=interpret,
     )(qes.T, jnp.asarray(w), jnp.asarray(ptab), rhs_packed)
     return unpack_state(x_out, b, npts, 4, tile, p_pad, rpc)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "iters", "tile", "precision", "interpret")
+)
+def rod_shape_fused_bc(qes, q_init, r_init,
+                       cfg: rod_model.RodConfig = rod_model.RodConfig(),
+                       iters: int = 20, tile: int = DEFAULT_TILE,
+                       precision: str = "high", interpret: bool = False):
+    """Fused rod solve with per-rod boundary conditions.
+
+    ``qes (B, na*ne)``, ``q_init (B, 4)``, ``r_init (B, 3)`` ->
+    ``(Q (B, n-1, 4), r (B, n-1, 3))``.  Same semantics as
+    ``rod_shape(..., method='picard')`` with arbitrary initial states —
+    the building block for fused multi-segment chains.
+    """
+    q_init = jnp.asarray(q_init, jnp.float32)
+    r_init = jnp.asarray(r_init, jnp.float32)
+    qes, b, b_pad, npts, p_pad, rpc = _prepare(qes, cfg, tile)
+    n_tiles = b_pad // tile
+    half = tile // rpc
+
+    def pad_t(v, rows):
+        v = jnp.pad(v, ((0, b_pad - v.shape[0]), (0, rows - v.shape[1])))
+        return v.T                                     # (rows, B_pad)
+
+    q0_t = pad_t(q_init, 4)
+    r0_t = pad_t(r_init, 4)
+
+    w, ptab, _ = _constants(cfg, p_pad, rpc)
+    dn_in = np.zeros((p_pad, 1), np.float32)
+    dn_in[:npts, 0] = cfg.grid.dn_in
+    kernel = functools.partial(
+        _kernel_bc, iters=iters, ne=cfg.ne,
+        precision=_PRECISIONS[precision], p_pad=p_pad, rpc=rpc,
+    )
+    out_spec = pl.BlockSpec((128, half), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    q_out, r_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((cfg.na * cfg.ne, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, cfg.ne), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((128, n_tiles * half), jnp.float32),
+            jax.ShapeDtypeStruct((128, n_tiles * half), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qes.T, jnp.asarray(w), jnp.asarray(ptab), jnp.asarray(dn_in),
+      q0_t, r0_t)
+
+    return (
+        unpack_state(q_out, b, npts, 4, tile, p_pad, rpc),
+        unpack_state(r_out, b, npts, 3, tile, p_pad, rpc),
+    )

@@ -100,3 +100,17 @@ def test_rod_shape_method_fused():
     with pytest.raises(NotImplementedError, match="fused"):
         rod.rod_shape(qes, q_init=jnp.asarray([0.0, 1.0, 0.0, 0.0]),
                       method="fused")
+
+
+def test_fused_bc_matches_picard_random_boundaries():
+    rng = np.random.default_rng(0)
+    qes = jnp.asarray(rng.standard_normal((300, 9)), jnp.float32)
+    q0 = rng.standard_normal((300, 4))
+    q0 = jnp.asarray(q0 / np.linalg.norm(q0, axis=1, keepdims=True), jnp.float32)
+    r0 = jnp.asarray(rng.standard_normal((300, 3)), jnp.float32)
+    q, r = rod_kernel.rod_shape_fused_bc(qes, q0, r0, tile=256, interpret=True)
+    ref = rod.rod_shape(qes, q_init=q0, r_init=r0, method="picard", iters=20)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ref.quaternions),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
+                               atol=1e-4)

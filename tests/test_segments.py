@@ -94,3 +94,17 @@ def test_high_order_picard_converges():
                                     iters=48)
     np.testing.assert_allclose(np.asarray(pic.positions),
                                np.asarray(dense.positions), atol=1e-9)
+
+
+def test_segmented_fused_matches_picard():
+    """method='fused' chains segments through the general-BC Pallas kernel."""
+    rng = np.random.default_rng(9)
+    cfg = segments.uniform_segments(3, n=16)
+    seg_qe = jnp.asarray(rng.standard_normal((256, 3, 9)), jnp.float32)
+    fused = segments.segmented_rod_shape(seg_qe, cfg, method="fused",
+                                         iters=20, tile=256, interpret=True)
+    pic = segments.segmented_rod_shape(seg_qe, cfg, method="picard", iters=20)
+    np.testing.assert_allclose(np.asarray(fused.tip_position),
+                               np.asarray(pic.tip_position), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fused.junction_quaternions),
+                               np.asarray(pic.junction_quaternions), atol=2e-4)
