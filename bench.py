@@ -88,6 +88,25 @@ def main():
         np.max(np.abs(sol.positions_f64()[0] - r_ref)) / np.max(np.abs(r_ref))
     )
 
+    # Nonlinear statics BVP throughput (Newton + IFT Jacobians), vmapped.
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        cosserat,
+    )
+
+    statics_cfg = cosserat.StaticsConfig(rod=cfg)
+    loads = jnp.asarray(
+        np.random.default_rng(1).uniform(-0.4, 0.4, (min(batch, 4096), 3)),
+        jnp.float32,
+    )
+
+    def statics_step(fl):
+        return jnp.sum(jax.vmap(
+            lambda x: cosserat.solve_statics(x, cfg=statics_cfg, tol=1e-5,
+                                             max_iter=12, iters=16).qe
+        )(fl))
+
+    dt_statics = _measure(jax.jit(statics_step), loads, reps=5)
+
     # Native C++ CPU baseline (reference algorithm, OpenMP threads).
     cpu_baseline = None
     try:
@@ -117,6 +136,7 @@ def main():
             "picard_f32_solves_per_sec": round(batch / dt_picard, 1),
             "pallas_fused_f32_solves_per_sec": round(batch / dt_fused, 1),
             "refined_ms_per_batch": round(dt_refined * 1e3, 3),
+            "statics_bvp_solves_per_sec": round(loads.shape[0] / dt_statics, 1),
             "rel_linf_error_vs_f64_reference": rel_err,
             "accuracy_gate_1e-8": rel_err <= 1e-8,
             "cpu_reference_baseline": cpu_baseline,
