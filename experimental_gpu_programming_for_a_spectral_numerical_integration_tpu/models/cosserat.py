@@ -23,8 +23,10 @@ projected onto the strain modes with Clenshaw–Curtis quadrature:
 
 ``r`` and ``R`` come from the differentiable spectral solves, so the Newton
 Jacobian is an exact ``jax.jacfwd`` through the collocation core — the
-implicit-function route SURVEY.md §7 flags as the 'hard part', handled here
-by JAX's forward-mode AD through the (unrolled) Picard iteration.
+implicit-function route SURVEY.md §7 flags as the 'hard part': the Picard
+solve carries an IFT custom JVP (``solve_ivp_picard_implicit``), so each
+tangent costs one extra solve instead of differentiating the iteration
+(measured 15x on the batched Newton path).
 
 Everything is jittable; :func:`solve_statics` runs Newton inside
 ``lax.while_loop`` and is batchable over load sets via ``vmap``;

@@ -389,16 +389,33 @@ def rod_shape(qe, q_init=None, r_init=None, cfg: RodConfig = RodConfig(),
     grid = cfg.grid
 
     if method == "fused":
-        # Pallas fast path (ops/pallas/rod_kernel.py): reference-demo
-        # boundary conditions only.
-        if q_init is not None or r_init is not None or normalize_quaternions:
+        # Pallas fast path (ops/pallas/rod_kernel.py); custom boundary
+        # conditions route through the general-BC kernel variant.
+        if normalize_quaternions:
             raise NotImplementedError(
-                "method='fused' supports the default q_init=(1,0,0,0), "
-                "r_init=0, unnormalized-quaternion semantics"
+                "method='fused' keeps the reference's unnormalized-"
+                "quaternion semantics"
             )
         from ..ops.pallas import rod_kernel as rk
 
-        q, r = rk.rod_shape_fused(qe_arr, cfg=cfg, iters=iters)
+        if q_init is None and r_init is None:
+            q, r = rk.rod_shape_fused(qe_arr, cfg=cfg, iters=iters)
+        else:
+            batch = qe_arr.shape[:-1]
+            q0 = jnp.broadcast_to(
+                jnp.asarray(DEFAULT_Q_INIT if q_init is None else q_init,
+                            jnp.float32), batch + (4,)
+            ).reshape(-1, 4)
+            r0 = jnp.broadcast_to(
+                jnp.asarray(DEFAULT_R_INIT if r_init is None else r_init,
+                            jnp.float32), batch + (3,)
+            ).reshape(-1, 3)
+            q, r = rk.rod_shape_fused_bc(
+                qe_arr.reshape(-1, qe_arr.shape[-1]), q0, r0, cfg=cfg,
+                iters=iters,
+            )
+            q = q.reshape(batch + q.shape[1:])
+            r = r.reshape(batch + r.shape[1:])
         return RodSolution(quaternions=q, positions=r)
 
     if r_init is None:

@@ -161,14 +161,20 @@ def segmented_rod_shape(qe_segments, cfg: SegmentedRodConfig, q_init=None,
         if method == "fused":
             from ..ops.pallas import rod_kernel as rk
 
+            # the kernel wants exactly one batch axis: flatten/restore leads
+            qe_s = qe_segments[..., s, :].reshape(-1, qe_segments.shape[-1])
             seg_q, seg_r = rk.rod_shape_fused_bc(
-                qe_segments[..., s, :], q, r, cfg=seg, iters=iters,
-                **method_kwargs,
+                qe_s, q.reshape(-1, 4), r.reshape(-1, 3), cfg=seg,
+                iters=iters, **method_kwargs,
             )
-            sol = rod.RodSolution(quaternions=seg_q, positions=seg_r)
+            sol = rod.RodSolution(
+                quaternions=seg_q.reshape(lead + seg_q.shape[1:]),
+                positions=seg_r.reshape(lead + seg_r.shape[1:]),
+            )
         else:
             sol = rod.rod_shape(qe_segments[..., s, :], q_init=q, r_init=r,
-                                cfg=seg, method=method, iters=iters)
+                                cfg=seg, method=method, iters=iters,
+                                **method_kwargs)
         qs.append(sol.quaternions)
         rs.append(sol.positions)
         q = sol.tip_quaternion

@@ -146,6 +146,29 @@ def _make_a_apply(kh, p_pad):
     return a_apply
 
 
+def _picard_loop(mm, w, g_rhs, a_apply, iters, shape=None):
+    """``s = g_rhs + W A(K) s`` fixed point (shared by all kernel variants)."""
+    s = g_rhs if shape is None else jnp.broadcast_to(g_rhs, shape)
+    for _ in range(iters):
+        s = g_rhs + mm(w, a_apply(s))
+    return s
+
+
+def _tangent_blocks(s, rpc, p_pad):
+    """Unnormalized rod tangent scaled x2 (so ``I (x) G~/2`` integrates it);
+    component block 3 zero-padded.  (`main.cpp:130-136` semantics.)"""
+    blocks = []
+    for h in range(rpc):
+        sw, sx, sy, sz = _component_slices(s, h, p_pad)
+        blocks += [
+            2.0 - 4.0 * (sy * sy + sz * sz),
+            4.0 * (sx * sy + sw * sz),
+            4.0 * (sx * sz - sw * sy),
+            jnp.zeros_like(sw),
+        ]
+    return jnp.concatenate(blocks, axis=0)
+
+
 def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
             iters, ne, precision, p_pad, rpc):
     bt = qe_ref.shape[1]          # rods per tile
@@ -159,23 +182,10 @@ def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
     g_rhs = g_rhs_ref[:, :]       # (128, 1) broadcasts over lanes
 
     # Picard: s <- g_rhs + W t, W already carries the ODE's 1/2 and G.
-    s = jnp.broadcast_to(g_rhs, (4 * rpc * p_pad, half))
-    for _ in range(iters):
-        s = g_rhs + mm(w, a_apply(s))
+    s = _picard_loop(mm, w, g_rhs, a_apply, iters,
+                     shape=(4 * rpc * p_pad, half))
     q_out_ref[:, :] = s
-
-    # Position: tangent scaled by 2 so the same W (= I (x) G~/2) integrates
-    # it; component block 3 is unused (zeros).
-    blocks = []
-    for h in range(rpc):
-        sw, sx, sy, sz = _component_slices(s, h, p_pad)
-        blocks += [
-            2.0 - 4.0 * (sy * sy + sz * sz),
-            4.0 * (sx * sy + sw * sz),
-            4.0 * (sx * sz - sw * sy),
-            jnp.zeros_like(sw),
-        ]
-    r_out_ref[:, :] = mm(w, jnp.concatenate(blocks, axis=0))
+    r_out_ref[:, :] = mm(w, _tangent_blocks(s, rpc, p_pad))
 
 
 def _kernel_bc(qe_ref, w_ref, ptab_ref, dn_in_ref, q0_ref, r0_ref,
@@ -207,23 +217,12 @@ def _kernel_bc(qe_ref, w_ref, ptab_ref, dn_in_ref, q0_ref, r0_ref,
 
     # g_rhs = (I (x) G)(-dn_in (x) q0) = W (2 * rhs)   [W carries G/2]
     g_rhs = mm(w, outer_rhs(q0_ref, -2.0))
-    s = g_rhs
-    for _ in range(iters):
-        s = g_rhs + mm(w, a_apply(s))
+    s = _picard_loop(mm, w, g_rhs, a_apply, iters)
     q_out_ref[:, :] = s
 
     # position: r = G (b - dn_in (x) r0) = W (2b - 2 dn_in (x) r0)
-    blocks = []
-    for h in range(rpc):
-        sw, sx, sy, sz = _component_slices(s, h, p_pad)
-        blocks += [
-            2.0 - 4.0 * (sy * sy + sz * sz),
-            4.0 * (sx * sy + sw * sz),
-            4.0 * (sx * sz - sw * sy),
-            jnp.zeros_like(sw),
-        ]
-    tb = jnp.concatenate(blocks, axis=0) + outer_rhs(r0_ref, -2.0)
-    r_out_ref[:, :] = mm(w, tb)
+    r_out_ref[:, :] = mm(w, _tangent_blocks(s, rpc, p_pad)
+                         + outer_rhs(r0_ref, -2.0))
 
 
 def _corr_kernel(qe_ref, w_ref, ptab_ref, rhs_ref, x_out_ref, *,
@@ -243,10 +242,7 @@ def _corr_kernel(qe_ref, w_ref, ptab_ref, rhs_ref, x_out_ref, *,
     w = w_ref[:, :]
 
     g_rhs = mm(w, 2.0 * rhs_ref[:, :])
-    s = g_rhs
-    for _ in range(iters):
-        s = g_rhs + mm(w, a_apply(s))
-    x_out_ref[:, :] = s
+    x_out_ref[:, :] = _picard_loop(mm, w, g_rhs, a_apply, iters)
 
 
 def pack_state(x, tile: int = DEFAULT_TILE, p_pad: int = 16, rpc: int = 2):

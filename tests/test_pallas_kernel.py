@@ -92,14 +92,13 @@ def test_fused_other_grid_orders(n):
                                atol=5e-5)
 
 
-def test_rod_shape_method_fused():
-    """method='fused' routes through the Pallas kernel (interpret on CPU
-    isn't auto-selected here, so just check routing + guards)."""
+def test_rod_shape_method_fused_guards():
+    """method='fused' keeps the reference's unnormalized semantics; custom
+    BCs route to rod_shape_fused_bc (exercised directly elsewhere)."""
     rng = np.random.default_rng(5)
     qes = jnp.asarray(rng.standard_normal((64, 9)), jnp.float32)
-    with pytest.raises(NotImplementedError, match="fused"):
-        rod.rod_shape(qes, q_init=jnp.asarray([0.0, 1.0, 0.0, 0.0]),
-                      method="fused")
+    with pytest.raises(NotImplementedError, match="unnormalized"):
+        rod.rod_shape(qes, method="fused", normalize_quaternions=True)
 
 
 def test_fused_bc_matches_picard_random_boundaries():
