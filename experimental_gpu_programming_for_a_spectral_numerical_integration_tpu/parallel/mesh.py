@@ -56,11 +56,32 @@ def sharded_rod_shape(mesh: Mesh, method: str = "picard", **kwargs):
     input/output live sharded over the ``rods`` axis; XLA keeps everything
     local to each chip (no collectives — rods are independent), which is the
     communication-optimal layout.
+
+    ``method='fused'`` runs the Pallas kernel per shard under ``shard_map``
+    (a pallas_call is not auto-partitionable): each chip solves its local
+    slab VMEM-resident — the Pallas x sharding composition for multi-chip
+    100k+-rod sweeps.
     """
     from ..models import rod
 
     batch_spec = NamedSharding(mesh, P(RODS_AXIS, None))
     out_spec = NamedSharding(mesh, P(RODS_AXIS, None, None))
+
+    if method == "fused":
+        from ..ops.pallas import rod_kernel as rk
+
+        def local_step(qes):
+            return rk.rod_shape_fused(qes, **kwargs)
+
+        step = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=P(RODS_AXIS, None),
+            out_specs=(P(RODS_AXIS, None, None), P(RODS_AXIS, None, None)),
+            # pallas_call's out_shape carries no varying-mesh-axes info
+            check_vma=False,
+        )
+        return jax.jit(step, in_shardings=batch_spec,
+                       out_shardings=(out_spec, out_spec))
 
     def step(qes):
         sol = rod.rod_shape(qes, method=method, **kwargs)

@@ -106,3 +106,18 @@ def test_implicit_jvp_matches_unrolled_differentiation():
     j2 = jax.jacfwd(f_unrolled)(m)
     np.testing.assert_allclose(np.asarray(j1), np.asarray(j2),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_sharded_fused_kernel_matches_picard():
+    """Pallas kernel under shard_map: each chip solves its local slab."""
+    mesh = mesh_lib.make_mesh(8)
+    rng = np.random.default_rng(3)
+    qes = jnp.asarray(rng.standard_normal((1024, 9)), jnp.float32)
+    sharded = mesh_lib.shard_rods(mesh, qes)
+    solve = mesh_lib.sharded_rod_shape(mesh, method="fused", tile=128,
+                                       interpret=True)
+    q, r = solve(sharded)
+    ref = rod.rod_shape(qes, cfg=rod.RodConfig(), method="picard", iters=20)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
+                               atol=5e-5)
+    assert len(q.sharding.device_set) == 8
