@@ -15,9 +15,14 @@ Everything is batched over arbitrary leading axes of ``qe`` / ``q_init`` /
 
 * ``method="refined"`` (default) — f32 Picard + double-word iterative
   refinement; ~1e-12 relative accuracy on TPU hardware with no f64 support.
-* ``method="picard"`` — plain f32, fastest, ~1e-6; the throughput path.
+* ``method="picard"`` — plain f32, ~1e-6; carries an implicit-function
+  custom JVP so Newton/gradient flows cost one extra solve per tangent.
+* ``method="fused"``  — the Pallas VMEM kernel (fastest f32; custom
+  boundary conditions route to the general-BC kernel variant).
 * ``method="dense"``  — batched LU on the assembled system; runs in f64 when
   x64 is enabled (CPU oracle parity) and is the Jacobian carrier for BVPs.
+
+See also :func:`rod_shape_refined_fused` — the accuracy-gated headline path.
 
 Quirk parity: the position RHS uses the **unnormalized** quaternion→rotation
 exactly as the reference does (`main.cpp:130-136`); pass
