@@ -157,3 +157,37 @@ def test_spectral_convergence_sweep():
     assert errors[24] < 1e-12
     assert errors[12] < errors[8] * 1e-1
     assert errors[16] < errors[12] * 1e-1
+
+
+def test_chebyshev_basis_variant_end_to_end():
+    """The thesis' Chebyshev-T modal basis through the full solve: must
+    agree with the Legendre solve when the strain FIELD is identical
+    (project the demo Legendre field onto T_j modes exactly — both bases
+    span degree-2 polynomials)."""
+    import numpy.polynomial as npoly
+
+    qe_leg = oracle.demo_qe()
+    # convert each component's Legendre coeffs to Chebyshev coeffs
+    qe_cheb = np.zeros(9)
+    for a in range(3):
+        leg = npoly.legendre.Legendre(qe_leg[a * 3:(a + 1) * 3])
+        cheb = leg.convert(kind=npoly.chebyshev.Chebyshev)
+        qe_cheb[a * 3:a * 3 + len(cheb.coef)] = cheb.coef
+    cfg_cheb = rod.RodConfig(n=16, basis="chebyshev")
+    sol_c = rod.rod_shape(jnp.asarray(qe_cheb), cfg=cfg_cheb, method="dense")
+    sol_l = rod.rod_shape(jnp.asarray(qe_leg), cfg=CFG, method="dense")
+    np.testing.assert_allclose(np.asarray(sol_c.positions),
+                               np.asarray(sol_l.positions), atol=1e-12)
+
+
+def test_multidim_batch_axes():
+    """(..., na*ne) leading axes of any rank through picard and dense."""
+    rng = np.random.default_rng(31)
+    qes = jnp.asarray(rng.standard_normal((2, 3, 9)), jnp.float32)
+    sol = rod.rod_shape(qes, cfg=CFG, method="picard")
+    assert sol.positions.shape == (2, 3, 15, 3)
+    flat = rod.rod_shape(qes.reshape(6, 9), cfg=CFG, method="picard")
+    np.testing.assert_allclose(
+        np.asarray(sol.positions.reshape(6, 15, 3)),
+        np.asarray(flat.positions), atol=1e-6,
+    )
