@@ -38,6 +38,14 @@ def _measure(fn, arg, reps: int | None = None):
 
 def main():
     import jax
+
+    # Persistent compilation cache: the fused kernels compile in ~1-2 min
+    # cold; cache them across bench runs on this machine.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import rod
