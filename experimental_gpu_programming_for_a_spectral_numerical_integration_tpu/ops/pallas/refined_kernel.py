@@ -167,7 +167,10 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
     b_lo = jnp.concatenate(tb_lo, axis=0)
 
     # --- stage 5: dd position via second Ozaki apply (W_G = I (x) G~/2) ---
-    pos_hi, pos_lo = _ozaki_apply(wg_planes_ref, wg_exp, b_hi, b_lo, 3)
+    # W_G has exponent ~0 (|G/2| <= 0.5): terms below level 5 are under the
+    # ~2^-45 target, so a tighter pair budget saves ~10 int8 dots.
+    pos_hi, pos_lo = _ozaki_apply(wg_planes_ref, wg_exp, b_hi, b_lo, 3,
+                                  pair_budget=5)
     r_hi_ref[:, :] = pos_hi
     r_lo_ref[:, :] = pos_lo
 
