@@ -128,3 +128,35 @@ def test_quat_multiply_identity_and_conjugate():
     )
     prod = lie.quat_multiply(jnp.asarray(qn), lie.quat_conjugate(jnp.asarray(qn)))
     np.testing.assert_allclose(np.asarray(prod), [1, 0, 0, 0], atol=1e-14)
+
+
+def test_Ad_adjoint_structure():
+    """SE(3) adjoint [[R,0],[p^R,R]] — wrench/twist transport block form."""
+    rng = np.random.default_rng(8)
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    r = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
+    p = np.array([0.2, -0.5, 1.0])
+    ad6 = np.asarray(lie.Ad(jnp.asarray(r), jnp.asarray(p)))
+    np.testing.assert_allclose(ad6[:3, :3], r, atol=1e-12)
+    np.testing.assert_allclose(ad6[:3, 3:], np.zeros((3, 3)))
+    np.testing.assert_allclose(ad6[3:, :3],
+                               np.asarray(lie.skew(jnp.asarray(p))) @ r,
+                               atol=1e-12)
+    np.testing.assert_allclose(ad6[3:, 3:], r, atol=1e-12)
+
+
+def test_component_major_roundtrip():
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import (
+        collocation as coll,
+    )
+
+    rng = np.random.default_rng(9)
+    s = jnp.asarray(rng.standard_normal((5, 15, 4)))
+    flat = coll.to_component_major(s)
+    assert flat.shape == (5, 60)
+    back = coll.from_component_major(flat, 15, 4)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(s))
+    # layout matches the reference stacking: flat[c*np+i] == s[i, c]
+    np.testing.assert_array_equal(np.asarray(flat[0, 2 * 15 + 3]),
+                                  np.asarray(s[0, 3, 2]))
