@@ -241,6 +241,11 @@ def rod_shape_refined_kernel(qes, qes_lo=None,
     path with more refinement steps, or split the rod into segments
     (models/segments.py); see diagnostics.picard_iterations_needed.
     """
+    if tile > 2048:
+        raise ValueError(
+            "refined kernel: tile <= 2048 (the dd state + int8 planes of a "
+            "larger tile exceed the 16MB VMEM scoped-allocation limit)"
+        )
     qes, b, b_pad, npts, p_pad, rpc = rk._prepare(qes, cfg, tile)
     if qes_lo is None:
         qes_lo = jnp.zeros_like(qes)
