@@ -151,3 +151,20 @@ def test_gravity_plus_tip_force_superpose_in_linear_regime():
         np.asarray(both.qe), np.asarray(only_w.qe) + np.asarray(only_f.qe),
         atol=1e-8,
     )
+
+
+def test_elastica_matches_bisshopp_drucker_table():
+    """Tip deflections vs the classic Bisshopp-Drucker (1945) elastica
+    solution: delta/L = 0.30172 (alpha=1), 0.49346 (alpha=2),
+    0.60325 (alpha=3).  Validates the geometrically exact solve to ~1e-3."""
+    loads = jnp.asarray([[0, 0, 0.5], [0, 0, 1.0], [0, 0, 2.0], [0, 0, 3.0]])
+    sols = cosserat.load_continuation(loads, cfg=CFG32)
+    tips = {
+        float(l[2]): float(
+            rod.rod_shape(s.qe, cfg=CFG32.rod, method="picard").tip_position[2]
+        )
+        for l, s in zip(loads, sols)
+    }
+    assert tips[1.0] == pytest.approx(0.30172, abs=2e-3)
+    assert tips[2.0] == pytest.approx(0.49346, abs=2e-3)
+    assert tips[3.0] == pytest.approx(0.60325, abs=2e-3)
