@@ -302,6 +302,11 @@ _PRECISIONS = {
 def _prepare(qes, cfg, tile):
     qes = jnp.asarray(qes, jnp.float32)
     b = qes.shape[0]
+    if b == 0:
+        raise ValueError(
+            "fused kernels need a non-empty batch (got B=0); the XLA paths "
+            "handle empty batches"
+        )
     npts = cfg.grid.num_unknown
     p_pad, rpc = _packing(npts)
     if tile % rpc:

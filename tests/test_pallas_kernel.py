@@ -113,3 +113,9 @@ def test_fused_bc_matches_picard_random_boundaries():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
                                atol=1e-4)
+
+
+def test_fused_rejects_empty_batch():
+    with pytest.raises(ValueError, match="non-empty"):
+        rod_kernel.rod_shape_fused(jnp.zeros((0, 9), jnp.float32),
+                                   interpret=True)
