@@ -60,18 +60,28 @@ def sharded_rod_shape(mesh: Mesh, method: str = "picard", **kwargs):
     ``method='fused'`` runs the Pallas kernel per shard under ``shard_map``
     (a pallas_call is not auto-partitionable): each chip solves its local
     slab VMEM-resident — the Pallas x sharding composition for multi-chip
-    100k+-rod sweeps.
+    100k+-rod sweeps.  ``method='refined'`` does the same with the single
+    accuracy-gated refined kernel (outputs are the dd sums ``hi + lo``).
     """
     from ..models import rod
 
     batch_spec = NamedSharding(mesh, P(RODS_AXIS, None))
     out_spec = NamedSharding(mesh, P(RODS_AXIS, None, None))
 
-    if method == "fused":
-        from ..ops.pallas import rod_kernel as rk
+    if method in ("fused", "refined"):
+        if method == "fused":
+            from ..ops.pallas import rod_kernel as rk
 
-        def local_step(qes):
-            return rk.rod_shape_fused(qes, **kwargs)
+            def local_step(qes):
+                return rk.rod_shape_fused(qes, **kwargs)
+        else:
+            from ..ops.pallas import refined_kernel as rfk
+
+            def local_step(qes):
+                q_hi, q_lo, r_hi, r_lo = rfk.rod_shape_refined_kernel(
+                    qes, **kwargs
+                )
+                return q_hi + q_lo, r_hi + r_lo
 
         step = jax.shard_map(
             local_step, mesh=mesh,

@@ -75,6 +75,17 @@ def test_dryrun_multichip_entrypoint():
     graft.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions(monkeypatch):
+    """The driver contract: outside pytest (no conftest bootstrap, possibly
+    an already-initialized 1-device backend), dryrun_multichip must provision
+    its own 8-virtual-CPU-device mesh via subprocess re-exec."""
+    import __graft_entry__ as graft
+
+    monkeypatch.delenv("XLA_FLAGS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    graft._respawn_dryrun(8)
+
+
 def test_entry_compiles():
     import __graft_entry__ as graft
 
