@@ -58,7 +58,11 @@ def main():
     interpret = jax.default_backend() == "cpu"
     tile = min(batch, 2048)
     rng = np.random.default_rng(0)
-    qes = jnp.asarray(rng.standard_normal((batch, 9)), jnp.float32)
+    # 0.8x keeps every rod inside the fused paths' validity domain
+    # (rho = max|K| L/2 <= 5; the raw N(0,1) draw has one rod at 5.11,
+    # which the refined kernel's sentinel would now rightly NaN-poison).
+    # Throughput is value-independent.
+    qes = jnp.asarray(0.8 * rng.standard_normal((batch, 9)), jnp.float32)
 
     def refined_step(q):
         # Headline: Pallas-fused f32 solves + one double-word IR pass

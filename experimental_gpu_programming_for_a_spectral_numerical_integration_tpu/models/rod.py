@@ -50,6 +50,7 @@ __all__ = [
     "rod_shape",
     "rod_shape_refined_fused",
     "split_strain",
+    "strain_rho",
     "RodSolution",
 ]
 
@@ -152,6 +153,48 @@ def _curvature_dd(cfg: RodConfig, qe):
 def _ode_blocks(k):
     """Per-point system matrix ``M_i = 1/2 A(K_i)`` of ``Q' = M Q``."""
     return 0.5 * lie.quat_skew(k)
+
+
+def strain_rho(qe, cfg: RodConfig) -> float:
+    """Picard contraction parameter ``rho = max_i |K(x_i)|_2 * L / 2``.
+
+    ``|A(K)|_2 = |K|_2``, so ``rho`` bounds the Volterra operator norm of
+    the quaternion ODE — the quantity that controls Picard convergence and
+    the fused kernels' int8 fixed-point window (see
+    ``diagnostics.picard_error_bound``).  Host-side (NumPy); ``qe`` must be
+    concrete.
+    """
+    qe_hi = np.asarray(qe[0] if isinstance(qe, tuple) else qe, np.float64)
+    modes = qe_hi.reshape(qe_hi.shape[:-1] + (cfg.na, cfg.ne))
+    k = np.einsum("pe,...ae->...pa", cfg.basis_table, modes)[..., :3]
+    return float(np.max(np.linalg.norm(k, axis=-1), initial=0.0)
+                 * cfg.length / 2.0)
+
+
+def _check_rho(qe, cfg: RodConfig, max_rho: float, where: str):
+    """Trace-time validity guard for the fused/Ozaki paths.
+
+    Skipped when ``qe`` is a tracer (inside user jit) — there the refined
+    kernel's in-kernel NaN-poisoning sentinel takes over
+    (ops/pallas/refined_kernel.py), so an out-of-domain input is loud
+    either way, never a silent int8 wrap.
+    """
+    import jax
+
+    qe_hi = qe[0] if isinstance(qe, tuple) else qe
+    if isinstance(qe_hi, jax.core.Tracer):
+        return
+    rho = strain_rho(qe, cfg)
+    if rho > max_rho:
+        raise ValueError(
+            f"{where}: strain too strong for the fused Picard paths — "
+            f"rho = max|K| L/2 = {rho:.2f} > {max_rho} risks non-convergence "
+            "and int8-window overflow in the exact residual. Raise iters/"
+            "corr_iters and pass check_validity=False if you have verified "
+            "convergence (diagnostics.picard_error_bound), use "
+            "method='refined' (XLA), or split the rod into segments "
+            "(models/segments.py)."
+        )
 
 
 def quaternion_kinematics(qe, q_init=None, cfg: RodConfig = RodConfig(),
@@ -275,7 +318,9 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
                             precision: str = "high",
                             interpret: bool = False,
                             single_kernel: bool | None = None,
-                            corr_iters: int | None = None) -> RodSolution:
+                            corr_iters: int | None = None,
+                            check_validity: bool = True,
+                            max_rho: float = 5.0) -> RodSolution:
     """Fastest accuracy-gated path: Pallas-fused f32 solves + double-word IR.
 
     Two implementations:
@@ -300,6 +345,8 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
             "rod_shape_refined_fused covers the Kirchhoff na=3 case; use "
             "method='picard'/'dense' for 6-DoF strains"
         )
+    if check_validity:
+        _check_rho(qe, cfg, max_rho, "rod_shape_refined_fused")
     if single_kernel is None:
         # Auto-select only when the single kernel can honor every request:
         # it performs exactly one refinement at 'high' matmul precision.
@@ -319,7 +366,8 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
         from ..ops.pallas import refined_kernel as rfk
 
         qe_hi, qe_lo = _as_dd_input(qe)
-        kw2 = {"interpret": interpret}
+        kw2 = {"interpret": interpret,
+               "check_rho": max_rho if check_validity else None}
         if tile is not None:
             kw2["tile"] = tile
         if corr_iters is not None:

@@ -52,7 +52,7 @@ def _ozaki_apply(planes_ref, const_exp, x_hi, x_lo, x_exp, pair_budget=7):
 def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
             rhs_hi_ref, rhs_lo_ref, wd_planes_ref, wg_planes_ref,
             q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref, *,
-            iters, corr_iters, ne, p_pad, rpc, wd_exp, wg_exp):
+            iters, corr_iters, ne, p_pad, rpc, wd_exp, wg_exp, rho2_limit):
     from .. import doubledouble as dd
 
     bt = qe_ref.shape[1]
@@ -95,6 +95,26 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
     s = jnp.broadcast_to(g_rhs, (4 * rpc * p_pad, half))
     for _ in range(iters):
         s = g_rhs + mm(w, a_apply(s))
+
+    # Validity sentinel, per packed rod slot (cheap VPU reductions; the
+    # valid-domain fast path is unchanged):
+    # (a) rho = max|K| L/2 beyond the static limit — the f32 Picard
+    #     transient (up to ~rho^rho/rho!) erases low-order bits even when
+    #     the final iterate re-converges, so the result would be plausible-
+    #     but-degraded;
+    # (b) final state outside the exact residual's int8 fixed-point window
+    #     |state| < 0.99 * 2^2 (ozaki.plane_decompose, x_exp=2), which
+    #     would otherwise WRAP SILENTLY.
+    # Offending slots are NaN-poisoned at the output stage below.
+    slot_bad = []
+    for h in range(rpc):
+        bad = jnp.max(jnp.abs(s[h * 4 * p_pad:(h + 1) * 4 * p_pad, :]),
+                      axis=0, keepdims=True) >= 3.96
+        if rho2_limit is not None:
+            k0, k1, k2 = kh[h]                       # K/2 at the points
+            ss = jnp.max(k0 * k0 + k1 * k1 + k2 * k2, axis=0, keepdims=True)
+            bad = bad | (ss > rho2_limit)
+        slot_bad.append(bad)
 
     # --- stage 2: exact residual r = rhs - D s + (1/2)A(K) s ---
     dn_s_hi, dn_s_lo = _ozaki_apply(wd_planes_ref, wd_exp, s, None, 2)
@@ -142,8 +162,6 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
     for _ in range(corr_iters):
         delta = g_res + mm(w, a_apply(delta))
     x_hi, x_lo = dd.two_sum(s, delta)
-    q_hi_ref[:, :] = x_hi
-    q_lo_ref[:, :] = x_lo
 
     # --- stage 4: dd tangent (x2, so I (x) G/2 integrates it) ---
     tb_hi, tb_lo = [], []
@@ -171,8 +189,20 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
     # ~2^-45 target, so a tighter pair budget saves ~10 int8 dots.
     pos_hi, pos_lo = _ozaki_apply(wg_planes_ref, wg_exp, b_hi, b_lo, 3,
                                   pair_budget=5)
-    r_hi_ref[:, :] = pos_hi
-    r_lo_ref[:, :] = pos_lo
+
+    # Poison overflowed slots (both windows: |s| < 2^2 above, |b| < 2^3
+    # here) so an out-of-domain input yields loud NaNs, never a wrap.
+    for h in range(rpc):
+        bad = slot_bad[h] | (
+            jnp.max(jnp.abs(b_hi[h * 4 * p_pad:(h + 1) * 4 * p_pad, :]),
+                    axis=0, keepdims=True) >= 7.92
+        )
+        nan = jnp.float32(np.nan)
+        rows = slice(h * 4 * p_pad, (h + 1) * 4 * p_pad)
+        q_hi_ref[rows, :] = jnp.where(bad, nan, x_hi[rows, :])
+        q_lo_ref[rows, :] = jnp.where(bad, nan, x_lo[rows, :])
+        r_hi_ref[rows, :] = jnp.where(bad, nan, pos_hi[rows, :])
+        r_lo_ref[rows, :] = jnp.where(bad, nan, pos_lo[rows, :])
 
 
 @functools.lru_cache(maxsize=None)
@@ -219,13 +249,15 @@ def _refined_constants(cfg: rod_model.RodConfig, p_pad: int, rpc: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "iters", "corr_iters", "tile", "interpret"),
+    static_argnames=("cfg", "iters", "corr_iters", "tile", "interpret",
+                     "check_rho"),
 )
 def rod_shape_refined_kernel(qes, qes_lo=None,
                              cfg: rod_model.RodConfig = rod_model.RodConfig(),
                              iters: int = 20, corr_iters: int = 20,
                              tile: int = rk.DEFAULT_TILE,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             check_rho: float | None = 5.0):
     """Fully-fused refined solve.
 
     ``qes (B, na*ne)`` (+ optional low word ``qes_lo`` from
@@ -236,10 +268,13 @@ def rod_shape_refined_kernel(qes, qes_lo=None,
     **Validity domain**: rho = max|K| L / 2 <~ 5 (i.e. |K| L <= 10) with the
     default iteration counts — beyond that the Picard series' transient
     growth both stalls convergence AND can exceed the int8 fixed-point
-    window of the exact residual (|state| < 4), which wraps silently.  For
-    stronger curvature increase ``iters``/``corr_iters``, use the staged
-    path with more refinement steps, or split the rod into segments
-    (models/segments.py); see diagnostics.picard_iterations_needed.
+    window of the exact residual (|state| < 4).  Overflow is DETECTED
+    in-kernel: affected rods come back as NaN, never a silent wrap; callers
+    with concrete strains get a trace-time ValueError instead
+    (``rod._check_rho``).  For stronger curvature increase
+    ``iters``/``corr_iters``, use the staged path with more refinement
+    steps, or split the rod into segments (models/segments.py); see
+    diagnostics.picard_iterations_needed.
     """
     if tile > 2048:
         raise ValueError(
@@ -264,6 +299,9 @@ def rod_shape_refined_kernel(qes, qes_lo=None,
     kernel = functools.partial(
         _kernel, iters=iters, corr_iters=corr_iters, ne=cfg.ne,
         p_pad=p_pad, rpc=rpc, wd_exp=wd_exp, wg_exp=wg_exp,
+        # kh holds K/2, so rho = L * max|K/2|; compare squared magnitudes.
+        rho2_limit=(None if check_rho is None
+                    else float((check_rho / cfg.length) ** 2)),
     )
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)

@@ -77,6 +77,71 @@ def test_moderate_curvature_within_gate():
     assert rel < 1e-8, rel
 
 
+def test_validity_guard_raises_on_concrete_strong_strain():
+    """rho > 5 with a concrete strain must be a loud trace-time error
+    (never a silent int8 wrap, VERDICT r1 weak #2)."""
+    import pytest
+
+    qe = np.zeros(9, np.float32)
+    qe[3] = 12.0          # constant |K| = 12 -> rho = 6
+    qes = jnp.tile(jnp.asarray(qe), (64, 1))
+    assert rod.strain_rho(qes, rod.RodConfig()) == pytest.approx(6.0)
+    with pytest.raises(ValueError, match="rho"):
+        rod.rod_shape_refined_fused(qes, refine_steps=1, tile=64,
+                                    interpret=True)
+    # The guard is an opt-out, not a wall.
+    sol = rod.rod_shape_refined_fused(qes, refine_steps=1, tile=64,
+                                      interpret=True, check_validity=False,
+                                      iters=40, corr_iters=40)
+    assert sol.positions is not None
+
+
+def test_validity_sentinel_poisons_overflow_under_jit():
+    """Inside jit the trace-time check cannot run; the kernel's in-kernel
+    sentinel must NaN-poison rods whose Picard state exceeds the int8
+    window instead of wrapping."""
+    import jax
+
+    qe_bad = np.zeros(9, np.float32)
+    qe_bad[3] = 16.0      # rho = 8: transient max ~ 8^8/8! >> 4 -> overflow
+    qes = jnp.tile(jnp.asarray(qe_bad), (64, 1))
+
+    @jax.jit
+    def solve(q):
+        return refined_kernel.rod_shape_refined_kernel(q, tile=64,
+                                                       interpret=True)
+
+    q_hi, _, r_hi, _ = solve(qes)
+    assert np.isnan(np.asarray(q_hi)).all()
+    assert np.isnan(np.asarray(r_hi)).all()
+
+
+def test_validity_sentinel_keeps_valid_rods_clean():
+    """Mixed batch: only the out-of-domain rods are poisoned."""
+    import jax
+
+    qe_bad = np.zeros(9, np.float32)
+    qe_bad[3] = 16.0
+    qe_ok = np.asarray(rod.demo_qe())
+    qes = jnp.asarray(np.stack([qe_ok] * 32 + [qe_bad] * 32), jnp.float32)
+
+    @jax.jit
+    def solve(q):
+        return refined_kernel.rod_shape_refined_kernel(q, tile=64,
+                                                       interpret=True)
+
+    q_hi, q_lo, r_hi, r_lo = solve(qes)
+    assert np.isnan(np.asarray(q_hi[32:])).all()
+    good = np.asarray(r_hi[:32], np.float64) + np.asarray(r_lo[:32], np.float64)
+    assert np.isfinite(good).all()
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils import (
+        oracle as oracle_mod,
+    )
+
+    _, r_ref = oracle_mod.integrate_position(np.asarray(qe_ok, np.float64))
+    assert np.max(np.abs(good[0] - r_ref)) < 1e-7
+
+
 def test_precision_request_respected():
     """precision != 'high' must not silently route to the single kernel."""
     qes = jnp.zeros((64, 9), jnp.float32)
