@@ -62,9 +62,12 @@ __all__ = [
 class StaticsConfig:
     """Rod geometry/discretization plus the constitutive law.
 
-    ``stiffness``: diagonal ``H = (H_torsion, H_bend_y, H_bend_z)`` —
-    ``(GJ, EI_y, EI_z)`` for a Kirchhoff rod.  ``kappa0``: intrinsic
-    (rest) curvature modes, same layout as ``qe``.
+    ``stiffness``: diagonal ``H``.  Length 3 for a Kirchhoff rod
+    (``GJ, EI_y, EI_z``; ``rod.na == 3``) or 6 for a shear-compliant
+    Reissner rod (``GJ, EI_y, EI_z, EA, GA_y, GA_z``; ``rod.na == 6`` —
+    the full ``H_a`` of rod_modeling.pdf eq. 2.14, the extension the
+    reference's dead ``ad()`` signals).  ``kappa0``: intrinsic (rest)
+    strain modes, same layout as ``qe``.
     ``distributed_force``: constant force density per unit length in the
     world frame (e.g. ``(0, 0, -rho g A)`` for gravity), applied along the
     whole rod via the spectral partial-integral operator.
@@ -122,10 +125,16 @@ def equilibrium_residual(qe, tip_force, tip_moment, cfg: StaticsConfig,
 
     table = jnp.asarray(cfg.full_basis_table, dtype)       # (n, ne)
     w = jnp.asarray(cfg.quad_weights, dtype)               # (n,)
-    h = jnp.asarray(cfg.stiffness, dtype)                  # (3,)
+    h = jnp.asarray(cfg.stiffness, dtype)                  # (na,)
+    if h.shape[-1] != rc.na:
+        raise ValueError(
+            f"stiffness has {h.shape[-1]} entries but rod.na = {rc.na}; "
+            "use 3 (Kirchhoff: GJ, EI_y, EI_z) or 6 (Reissner: + EA, GA_y, "
+            "GA_z with rod.na = 6)"
+        )
 
-    # Curvature on the full grid.
-    kappa = basis_ops.strain_at_points(qe, table)          # (..., n, 3)
+    # Strain field on the full grid (curvature, + shear/extension if na=6).
+    kappa = basis_ops.strain_at_points(qe, table)          # (..., n, na)
     if cfg.kappa0 is not None:
         kappa = kappa - basis_ops.strain_at_points(
             jnp.asarray(cfg.kappa0, dtype), table
@@ -154,8 +163,22 @@ def equilibrium_residual(qe, tip_force, tip_moment, cfg: StaticsConfig,
     tau = jnp.einsum("...nij,...nj->...ni", jnp.swapaxes(rot, -1, -2),
                      world_moment, precision="highest")
 
-    # Weak form: res[a, e] = sum_j w_j P_e(x_j) (H kappa - tau)[j, a].
-    mr = h * kappa - tau                                   # (..., n, 3)
+    if rc.na == 6:
+        # Force balance rows: the internal force at section X is the tip
+        # force plus the distributed tail, rotated into the body frame;
+        # constitutive law H_shear gamma = n (Reissner, pdf ch. 1-2).
+        world_force = f
+        if cfg.distributed_force is not None:
+            tail_len = jnp.asarray(rc.length - rc.points, dtype)
+            world_force = world_force + tail_len[:, None] * jnp.asarray(
+                cfg.distributed_force, dtype
+            )
+        n_body = jnp.einsum("...nij,...nj->...ni", jnp.swapaxes(rot, -1, -2),
+                            world_force, precision="highest")
+        tau = jnp.concatenate([tau, n_body], axis=-1)      # (..., n, 6)
+
+    # Weak form: res[a, e] = sum_j w_j P_e(x_j) (H xi - tau)[j, a].
+    mr = h * kappa - tau                                   # (..., n, na)
     res = jnp.einsum("j,je,...ja->...ae", w, table, mr, precision="highest")
     return res.reshape(res.shape[:-2] + (rc.na * rc.ne,))
 

@@ -228,7 +228,9 @@ def quaternion_kinematics(qe, q_init=None, cfg: RodConfig = RodConfig(),
         return coll.solve_ivp_picard_implicit(grid, m, rhs, iters)
     if method == "refined":
         k_hi, k_lo = _curvature_dd(cfg, qe)
-        m_hi, m_lo = _ode_blocks(k_hi), _ode_blocks(k_lo)
+        # 6-DoF strains: only the curvature components drive the quaternion
+        # ODE (gamma enters the position RHS, rod_shape below).
+        m_hi, m_lo = _ode_blocks(k_hi[..., :3]), _ode_blocks(k_lo[..., :3])
         dn_in_hi, dn_in_lo = grid.dn_in_dd
         q0 = jnp.asarray(q_init, jnp.float32)
         rhs_hi, rhs_lo = dd.dd_scale(
@@ -266,6 +268,50 @@ def _tangent_dd(q_hi, q_lo):
     hi = jnp.stack([t0[0], t1[0], t2[0]], axis=-1)
     lo = jnp.stack([t0[1], t1[1], t2[1]], axis=-1)
     return hi, lo
+
+
+def _tangent_dd_6dof(q_hi, q_lo, g_hi, g_lo):
+    """Double-word Reissner tangent ``t = R(q) (e1 + gamma)``.
+
+    Same unnormalized-rotation semantics as :func:`_tangent_dd` (which is
+    the ``gamma = 0`` special case, `main.cpp:130-136`), extended with the
+    shear/extension columns of ``R`` — the capability the reference's dead
+    ``ad()`` signals (`utilities.h:27-37`).  ``g``: dd pair ``(..., np, 3)``.
+    """
+    comps = [(q_hi[..., i], q_lo[..., i]) for i in range(4)]
+    (w, x, y, z) = comps
+
+    def m(a, b):
+        return dd.dd_mul(a[0], a[1], b[0], b[1])
+
+    xx, yy, zz = m(x, x), m(y, y), m(z, z)
+    xy, xz, yz = m(x, y), m(x, z), m(y, z)
+    wx, wy, wz = m(w, x), m(w, y), m(w, z)
+    one = jnp.ones_like(q_hi[..., 0])
+
+    def diag(a, b):  # 1 - 2(a + b)
+        return dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*a, *b), -2.0), one)
+
+    def off(a, b, sign):  # 2(a + sign*b)
+        t = dd.dd_add(*a, *dd.dd_scale(*b, sign))
+        return dd.dd_scale(*t, 2.0)
+
+    r_cols = [
+        # column 0 (= _tangent_dd), 1, 2 of the unnormalized R(q)
+        (diag(yy, zz), off(xy, wz, 1.0), off(xz, wy, -1.0)),
+        (off(xy, wz, -1.0), diag(xx, zz), off(yz, wx, 1.0)),
+        (off(xz, wy, 1.0), off(yz, wx, -1.0), diag(xx, yy)),
+    ]
+    g = [(g_hi[..., a], g_lo[..., a]) for a in range(3)]
+    rows_hi, rows_lo = [], []
+    for i in range(3):
+        # t_i = R[i,0] * (1 + g0) + R[i,1] * g1 + R[i,2] * g2
+        acc = dd.dd_add(*r_cols[0][i], *m(r_cols[0][i], g[0]))
+        acc = dd.dd_add(*acc, *m(r_cols[1][i], g[1]))
+        acc = dd.dd_add(*acc, *m(r_cols[2][i], g[2]))
+        rows_hi.append(acc[0])
+        rows_lo.append(acc[1])
+    return jnp.stack(rows_hi, axis=-1), jnp.stack(rows_lo, axis=-1)
 
 
 @dataclass
@@ -340,19 +386,22 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
     """
     from ..ops.pallas import rod_kernel as rk
 
-    if cfg.na != 3:
-        raise NotImplementedError(
-            "rod_shape_refined_fused covers the Kirchhoff na=3 case; use "
-            "method='picard'/'dense' for 6-DoF strains"
-        )
     if check_validity:
         _check_rho(qe, cfg, max_rho, "rod_shape_refined_fused")
     if single_kernel is None:
         # Auto-select only when the single kernel can honor every request:
-        # it performs exactly one refinement at 'high' matmul precision.
+        # it performs exactly one refinement at 'high' matmul precision on
+        # Kirchhoff strains (6-DoF rides the staged path: the correction
+        # kernel reads only the curvature rows, gamma enters via the dd
+        # tangent below).
         single_kernel = (refine_steps == 1 and cfg.n - 1 <= 32
-                         and precision == "high")
+                         and precision == "high" and cfg.na == 3)
     if single_kernel:
+        if cfg.na != 3:
+            raise ValueError(
+                "single_kernel covers the Kirchhoff na=3 case; use "
+                "single_kernel=False for 6-DoF strains"
+            )
         if refine_steps != 1:
             raise ValueError(
                 "single_kernel performs exactly one refinement; use "
@@ -404,15 +453,20 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
                                       precision=precision, **kw)
     x_lo = jnp.zeros_like(x_hi)
 
+    kappa_dd = (k_dd[0][..., :3], k_dd[1][..., :3])
     for _ in range(refine_steps):
-        r_hi, r_lo = coll.residual_quat_dd(grid, k_dd, x_hi, x_lo,
+        r_hi, r_lo = coll.residual_quat_dd(grid, kappa_dd, x_hi, x_lo,
                                            rhs_hi, rhs_lo)
         delta = rk.picard_correction_fused(qe_hi, r_hi + r_lo, cfg=cfg,
                                            iters=iters, precision=precision,
                                            **kw)
         x_hi, x_lo = dd.dd_add(x_hi, x_lo, delta, jnp.zeros_like(delta))
 
-    b_hi, b_lo = _tangent_dd(x_hi, x_lo)
+    if cfg.na == 6:
+        b_hi, b_lo = _tangent_dd_6dof(x_hi, x_lo,
+                                      k_dd[0][..., 3:], k_dd[1][..., 3:])
+    else:
+        b_hi, b_lo = _tangent_dd(x_hi, x_lo)
     r_hi, r_lo = coll.quadrature_refined(grid, (b_hi, b_lo),
                                          refine_steps=max(1, refine_steps))
     return RodSolution(
@@ -476,11 +530,6 @@ def rod_shape(qe, q_init=None, r_init=None, cfg: RodConfig = RodConfig(),
     r_init = jnp.asarray(r_init, qe_arr.dtype)
 
     if method == "refined":
-        if cfg.na == 6:
-            raise NotImplementedError(
-                "6-DoF strains: use method='picard' or 'dense' (the refined "
-                "double-word path currently covers the Kirchhoff na=3 case)"
-            )
         q_hi, q_lo = quaternion_kinematics(
             qe, q_init, cfg, method="refined", iters=iters,
             refine_steps=refine_steps, return_dd=True,
@@ -488,7 +537,12 @@ def rod_shape(qe, q_init=None, r_init=None, cfg: RodConfig = RodConfig(),
         if normalize_quaternions:
             q = lie.quat_normalize(q_hi + q_lo)
             q_hi, q_lo = q, jnp.zeros_like(q)
-        b_hi, b_lo = _tangent_dd(q_hi, q_lo)
+        if cfg.na == 6:
+            k_hi, k_lo = _curvature_dd(cfg, qe)
+            b_hi, b_lo = _tangent_dd_6dof(q_hi, q_lo,
+                                          k_hi[..., 3:], k_lo[..., 3:])
+        else:
+            b_hi, b_lo = _tangent_dd(q_hi, q_lo)
         dn_in_hi, dn_in_lo = grid.dn_in_dd
         ivp_hi, ivp_lo = dd.dd_mul_f32(
             jnp.asarray(dn_in_hi)[:, None], jnp.asarray(dn_in_lo)[:, None],

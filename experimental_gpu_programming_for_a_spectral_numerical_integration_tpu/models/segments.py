@@ -117,12 +117,21 @@ def project_global_strain(qe_global, cfg: SegmentedRodConfig,
 @dataclass
 class SegmentedSolution:
     """Per-segment point-major states (tip-first within each segment) plus
-    the junction/tip trace."""
+    the junction/tip trace.
+
+    ``method='refined_fused'`` also populates the double-word lists
+    ``quaternions_dd`` / ``positions_dd`` (junction dd trace in
+    ``junction_dd``): the chained ≤1e-8-grade state IS the pair — a single
+    f32 array floors at ~3e-8 relative.
+    """
 
     quaternions: list   # S x (..., n_s - 1, 4)
     positions: list     # S x (..., n_s - 1, 3)
     junction_quaternions: jnp.ndarray  # (..., S, 4) state at each segment tip
     junction_positions: jnp.ndarray    # (..., S, 3)
+    quaternions_dd: list = None        # S x ((..., n_s-1, 4) hi, lo)
+    positions_dd: list = None
+    junction_dd: tuple = None          # ((q_hi, q_lo), (r_hi, r_lo))
 
     @property
     def tip_quaternion(self):
@@ -131,6 +140,16 @@ class SegmentedSolution:
     @property
     def tip_position(self):
         return self.junction_positions[..., -1, :]
+
+    def tip_position_f64(self):
+        (_, _), (r_hi, r_lo) = self.junction_dd
+        return (np.asarray(r_hi[..., -1, :], np.float64)
+                + np.asarray(r_lo[..., -1, :], np.float64))
+
+    def tip_quaternion_f64(self):
+        (q_hi, q_lo), _ = self.junction_dd
+        return (np.asarray(q_hi[..., -1, :], np.float64)
+                + np.asarray(q_lo[..., -1, :], np.float64))
 
 
 def segmented_rod_shape(qe_segments, cfg: SegmentedRodConfig, q_init=None,
@@ -143,7 +162,14 @@ def segmented_rod_shape(qe_segments, cfg: SegmentedRodConfig, q_init=None,
     construction.  ``method='fused'`` chains segments through the Pallas
     kernel's general-BC entry point (``rod_shape_fused_bc``) — each
     segment's junction state rides the lanes, batch stays VMEM-resident.
+    ``method='refined_fused'`` does the same through the single refined
+    kernel's BC variant, carrying DOUBLE-WORD junction states so the whole
+    chain stays on the ≤1e-8 accuracy path; ``qe_segments`` may then be a
+    dd pair ``(hi, lo)`` from ``rod.split_strain`` for f64-grade input.
     """
+    if method == "refined_fused":
+        return _segmented_refined_fused(qe_segments, cfg, q_init, r_init,
+                                        iters=iters, **method_kwargs)
     qe_segments = jnp.asarray(qe_segments)
     lead = qe_segments.shape[:-2]
     q = jnp.broadcast_to(
@@ -186,6 +212,70 @@ def segmented_rod_shape(qe_segments, cfg: SegmentedRodConfig, q_init=None,
         positions=rs,
         junction_quaternions=jnp.stack(jq, axis=-2),
         junction_positions=jnp.stack(jr, axis=-2),
+    )
+
+
+def _segmented_refined_fused(qe_segments, cfg: SegmentedRodConfig, q_init,
+                             r_init, iters: int = 20,
+                             **kernel_kwargs) -> SegmentedSolution:
+    """Chained refined-fused solve: dd junction states through the BC
+    variant of the single refined Pallas kernel."""
+    from ..ops.pallas import refined_kernel as rfk
+
+    if isinstance(qe_segments, tuple):
+        qe_hi = jnp.asarray(qe_segments[0], jnp.float32)
+        qe_lo = jnp.asarray(qe_segments[1], jnp.float32)
+    else:
+        qe_hi = jnp.asarray(qe_segments, jnp.float32)
+        qe_lo = jnp.zeros_like(qe_hi)
+    lead = qe_hi.shape[:-2]
+
+    def dd_state(v, default, rows):
+        hi = jnp.broadcast_to(
+            jnp.asarray(default if v is None else v, jnp.float32),
+            lead + (rows,),
+        )
+        return hi, jnp.zeros_like(hi)
+
+    q_hi, q_lo = dd_state(q_init, rod.DEFAULT_Q_INIT, 4)
+    r_hi, r_lo = dd_state(r_init, rod.DEFAULT_R_INIT, 3)
+
+    qs, rs, qs_dd, rs_dd, jq, jr, jq_dd, jr_dd = ([] for _ in range(8))
+    flat = lambda a, c: a.reshape(-1, c)
+    for s, seg in enumerate(cfg.segments):
+        sq_hi, sq_lo, sr_hi, sr_lo = rfk.rod_shape_refined_kernel_bc(
+            flat(qe_hi[..., s, :], qe_hi.shape[-1]),
+            flat(q_hi, 4), flat(r_hi, 3),
+            qes_lo=flat(qe_lo[..., s, :], qe_lo.shape[-1]),
+            q_init_lo=flat(q_lo, 4), r_init_lo=flat(r_lo, 3),
+            cfg=seg, iters=iters, **kernel_kwargs,
+        )
+        reshape = lambda a: a.reshape(lead + a.shape[1:])
+        sq_hi, sq_lo = reshape(sq_hi), reshape(sq_lo)
+        sr_hi, sr_lo = reshape(sr_hi), reshape(sr_lo)
+        qs.append(sq_hi + sq_lo)
+        rs.append(sr_hi + sr_lo)
+        qs_dd.append((sq_hi, sq_lo))
+        rs_dd.append((sr_hi, sr_lo))
+        # Junction = the segment's tip (point 0 on the descending grid).
+        q_hi, q_lo = sq_hi[..., 0, :], sq_lo[..., 0, :]
+        r_hi, r_lo = sr_hi[..., 0, :], sr_lo[..., 0, :]
+        jq.append(q_hi + q_lo)
+        jr.append(r_hi + r_lo)
+        jq_dd.append((q_hi, q_lo))
+        jr_dd.append((r_hi, r_lo))
+    stack_dd = lambda pairs: (
+        jnp.stack([p[0] for p in pairs], axis=-2),
+        jnp.stack([p[1] for p in pairs], axis=-2),
+    )
+    return SegmentedSolution(
+        quaternions=qs,
+        positions=rs,
+        junction_quaternions=jnp.stack(jq, axis=-2),
+        junction_positions=jnp.stack(jr, axis=-2),
+        quaternions_dd=qs_dd,
+        positions_dd=rs_dd,
+        junction_dd=(stack_dd(jq_dd), stack_dd(jr_dd)),
     )
 
 

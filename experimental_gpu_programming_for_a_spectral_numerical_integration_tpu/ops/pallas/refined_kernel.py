@@ -37,7 +37,7 @@ from ...models import rod as rod_model
 from .. import ozaki
 from . import rod_kernel as rk
 
-__all__ = ["rod_shape_refined_kernel"]
+__all__ = ["rod_shape_refined_kernel", "rod_shape_refined_kernel_bc"]
 
 def _ozaki_apply(planes_ref, const_exp, x_hi, x_lo, x_exp, pair_budget=7):
     """dd-accurate ``A @ x`` from in-VMEM int8 planes of the constant.
@@ -49,11 +49,22 @@ def _ozaki_apply(planes_ref, const_exp, x_hi, x_lo, x_exp, pair_budget=7):
                            x_exp, pair_budget=pair_budget)
 
 
-def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
-            rhs_hi_ref, rhs_lo_ref, wd_planes_ref, wg_planes_ref,
-            q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref, *,
-            iters, corr_iters, ne, p_pad, rpc, wd_exp, wg_exp, rho2_limit):
+def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
+            iters, corr_iters, ne, p_pad, rpc, wd_exp, wg_exp, rho2_limit,
+            bc=False):
     from .. import doubledouble as dd
+
+    if bc:
+        # General-BC variant: per-rod dd ``q_init`` / ``r_init`` instead of
+        # the precomputed demo-BC rhs — the accuracy-path analogue of
+        # rod_kernel._kernel_bc, enabling multi-segment chains
+        # (`/root/reference/main.cpp:106,154` BCs generalized).
+        (din_hi_ref, din_lo_ref, gdin_hi_ref, gdin_lo_ref, q0_ref, r0_ref,
+         wd_planes_ref, wg_planes_ref,
+         q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref) = rest
+    else:
+        (g_rhs_ref, rhs_hi_ref, rhs_lo_ref, wd_planes_ref, wg_planes_ref,
+         q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref) = rest
 
     bt = qe_ref.shape[1]
     half = bt // rpc
@@ -89,7 +100,25 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
     a_apply = rk._make_a_apply(kh, p_pad)
 
     w = w_ref[:, :]
-    g_rhs = g_rhs_ref[:, :]
+    if bc:
+        # rhs = -(dn_in (x) q0) built in-kernel, in dd (exact outer
+        # products of the dd grid column with the dd junction state).
+        din_h, din_l = din_hi_ref[:, :], din_lo_ref[:, :]   # (p_pad, 1)
+        rb_hi, rb_lo = [], []
+        for h in range(rpc):
+            for c in range(4):
+                row_h = q0_ref[c:c + 1, h * half:(h + 1) * half]
+                row_l = q0_ref[4 + c:5 + c, h * half:(h + 1) * half]
+                ph, pl = dd.dd_mul(din_h, din_l, row_h, row_l)
+                rb_hi.append(-ph)
+                rb_lo.append(-pl)
+        rhs_hi = jnp.concatenate(rb_hi, axis=0)             # (128, half)
+        rhs_lo = jnp.concatenate(rb_lo, axis=0)
+        g_rhs = mm(w, rhs_hi)
+    else:
+        rhs_hi = rhs_hi_ref[:, :]                            # (128, 1)
+        rhs_lo = rhs_lo_ref[:, :]
+        g_rhs = g_rhs_ref[:, :]
 
     # --- stage 1: f32 Picard base solve ---
     s = jnp.broadcast_to(g_rhs, (4 * rpc * p_pad, half))
@@ -149,8 +178,7 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
     ak_hi = jnp.concatenate(ak_blocks_hi, axis=0)
     ak_lo = jnp.concatenate(ak_blocks_lo, axis=0)
 
-    r_hi, r_lo = dd.dd_add(rhs_hi_ref[:, :], rhs_lo_ref[:, :],
-                           -dn_s_hi, -dn_s_lo)
+    r_hi, r_lo = dd.dd_add(rhs_hi, rhs_lo, -dn_s_hi, -dn_s_lo)
     r_hi, r_lo = dd.dd_add(r_hi, r_lo, ak_hi, ak_lo)
 
     # --- stage 3: f32 Picard correction, dd combine ---
@@ -189,6 +217,22 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, g_rhs_ref,
     # ~2^-45 target, so a tighter pair budget saves ~10 int8 dots.
     pos_hi, pos_lo = _ozaki_apply(wg_planes_ref, wg_exp, b_hi, b_lo, 3,
                                   pair_budget=5)
+    if bc:
+        # r_init enters OUTSIDE the int8 apply (|dn_in| ~ N^2/L would blow
+        # the |b| < 2^3 window): G (dn_in (x) r0) = (G dn_in) (x) r0 with
+        # the constant dd vector gdin = ginv @ dn_in — exact dd products.
+        gd_h, gd_l = gdin_hi_ref[:, :], gdin_lo_ref[:, :]   # (p_pad, 1)
+        eb_hi, eb_lo = [], []
+        for h in range(rpc):
+            for c in range(4):
+                row_h = r0_ref[c:c + 1, h * half:(h + 1) * half]
+                row_l = r0_ref[4 + c:5 + c, h * half:(h + 1) * half]
+                ph, pl = dd.dd_mul(gd_h, gd_l, row_h, row_l)
+                eb_hi.append(-ph)
+                eb_lo.append(-pl)
+        pos_hi, pos_lo = dd.dd_add(pos_hi, pos_lo,
+                                   jnp.concatenate(eb_hi, axis=0),
+                                   jnp.concatenate(eb_lo, axis=0))
 
     # Poison overflowed slots (both windows: |s| < 2^2 above, |b| < 2^3
     # here) so an out-of-domain input yields loud NaNs, never a wrap.
@@ -245,6 +289,119 @@ def _refined_constants(cfg: rod_model.RodConfig, p_pad: int, rpc: int):
 
     return (w, ptab_hi, ptab_lo, g_rhs, rhs_hi, rhs_lo,
             wd_planes, int(wd_exp), wg_planes, int(wg_exp))
+
+
+@functools.lru_cache(maxsize=None)
+def _bc_constants(cfg: rod_model.RodConfig, p_pad: int):
+    """dd splits of the grid's known-endpoint column and its integrated
+    image ``G @ dn_in`` (both (p_pad, 1) zero-padded)."""
+    from .. import doubledouble as dd
+
+    grid = cfg.grid
+    npts = grid.num_unknown
+    din64 = np.zeros((p_pad, 1))
+    din64[:npts, 0] = grid.dn_in
+    gdin64 = np.zeros((p_pad, 1))
+    gdin64[:npts, 0] = grid.ginv @ grid.dn_in
+    return dd.split_f64(din64) + dd.split_f64(gdin64)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "iters", "corr_iters", "tile", "interpret",
+                     "check_rho"),
+)
+def rod_shape_refined_kernel_bc(qes, q_init, r_init, qes_lo=None,
+                                q_init_lo=None, r_init_lo=None,
+                                cfg: rod_model.RodConfig = rod_model.RodConfig(),
+                                iters: int = 20, corr_iters: int = 20,
+                                tile: int = rk.DEFAULT_TILE,
+                                interpret: bool = False,
+                                check_rho: float | None = 5.0):
+    """Fully-fused refined solve with per-rod dd boundary conditions.
+
+    ``qes (B, na*ne)``, ``q_init (B, 4)``, ``r_init (B, 3)`` (each with an
+    optional ``_lo`` word carrying f64-grade junction state) ->
+    ``(q_hi, q_lo, r_hi, r_lo)``.  This is the accuracy-path analogue of
+    ``rod_kernel.rod_shape_fused_bc``: multi-segment rods chain through it
+    without dropping to f32 at the junctions (models/segments.py,
+    method='refined_fused').  ≙ `/root/reference/main.cpp:106,154` with the
+    boundary values generalized.
+    """
+    if tile > 2048:
+        raise ValueError("refined kernel: tile <= 2048 (VMEM limit)")
+    qes, b, b_pad, npts, p_pad, rpc = rk._prepare(qes, cfg, tile)
+    if qes_lo is None:
+        qes_lo = jnp.zeros_like(qes)
+    else:
+        qes_lo = jnp.asarray(qes_lo, jnp.float32)
+        if qes_lo.shape[0] != b_pad:
+            qes_lo = jnp.pad(qes_lo, ((0, b_pad - qes_lo.shape[0]), (0, 0)))
+    qes = jnp.concatenate([qes, qes_lo], axis=1)
+    n_tiles = b_pad // tile
+    half = tile // rpc
+
+    def pack_dd(v_hi, v_lo, rows):
+        """(B, c<=rows) dd pair -> (2*rows, B_pad): hi rows then lo rows."""
+        v_hi = jnp.asarray(v_hi, jnp.float32)
+        v_lo = (jnp.zeros_like(v_hi) if v_lo is None
+                else jnp.asarray(v_lo, jnp.float32))
+        out = []
+        for v in (v_hi, v_lo):
+            out.append(jnp.pad(
+                v, ((0, b_pad - v.shape[0]), (0, rows - v.shape[1]))).T)
+        return jnp.concatenate(out, axis=0)
+
+    q0_t = pack_dd(q_init, q_init_lo, 4)                 # (8, B_pad)
+    r0_t = pack_dd(r_init, r_init_lo, 4)
+
+    (w, ptab_hi, ptab_lo, _, _, _,
+     wd_planes, wd_exp, wg_planes, wg_exp) = _refined_constants(
+        cfg, p_pad, rpc)
+    din_hi, din_lo, gdin_hi, gdin_lo = _bc_constants(cfg, p_pad)
+
+    kernel = functools.partial(
+        _kernel, iters=iters, corr_iters=corr_iters, ne=cfg.ne,
+        p_pad=p_pad, rpc=rpc, wd_exp=wd_exp, wg_exp=wg_exp,
+        rho2_limit=(None if check_rho is None
+                    else float((check_rho / cfg.length) ** 2)),
+        bc=True,
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((128, half), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((128, n_tiles * half), jnp.float32)
+    q_hi, q_lo, r_hi, r_lo = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((2 * cfg.na * cfg.ne, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            const((128, 128)),
+            const((p_pad, cfg.ne)),
+            const((p_pad, cfg.ne)),
+            const((p_pad, 1)),
+            const((p_pad, 1)),
+            const((p_pad, 1)),
+            const((p_pad, 1)),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            const((wd_planes.shape[0], 128, 128)),
+            const((wg_planes.shape[0], 128, 128)),
+        ],
+        out_specs=(out_spec,) * 4,
+        out_shape=(out_shape,) * 4,
+        interpret=interpret,
+    )(qes.T, jnp.asarray(w), jnp.asarray(ptab_hi), jnp.asarray(ptab_lo),
+      jnp.asarray(din_hi), jnp.asarray(din_lo),
+      jnp.asarray(gdin_hi), jnp.asarray(gdin_lo), q0_t, r0_t,
+      jnp.asarray(wd_planes), jnp.asarray(wg_planes))
+
+    up = lambda o, c: rk.unpack_state(o, b, npts, c, tile, p_pad, rpc)
+    return up(q_hi, 4), up(q_lo, 4), up(r_hi, 3), up(r_lo, 3)
 
 
 @functools.partial(

@@ -105,15 +105,18 @@ def _make_mm(precision):
     return mm
 
 
-def _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc):
-    """K_a = P~ @ qe_a, sliced per packed rod slot.
+def _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc, na: int = 3):
+    """Strain components ``xi_a = P~ @ qe_a``, sliced per packed rod slot.
 
-    Three (p_pad, ne) @ (ne, B_t) matmuls; the lane/sublane orientation
+    ``na`` (p_pad, ne) @ (ne, B_t) matmuls; the lane/sublane orientation
     matches the packed state directly.  Slot h (rows h*4*p_pad + c*p_pad)
-    holds rods at columns [h*half:(h+1)*half) of the K arrays.
+    holds rods at columns [h*half:(h+1)*half) of the strain arrays.  For
+    6-DoF (Reissner) strains the first 3 components are curvature (driving
+    ``A(K)``) and the last 3 shear/extension ``gamma`` (driving the
+    tangent).
     """
     p = ptab_ref[:, :]
-    k = [mm(p, qe_ref[a * ne:(a + 1) * ne, :]) for a in range(3)]
+    k = [mm(p, qe_ref[a * ne:(a + 1) * ne, :]) for a in range(na)]
     return [[ki[:, h * half:(h + 1) * half] for ki in k] for h in range(rpc)]
 
 
@@ -129,11 +132,12 @@ def _component_slices(s, h, p_pad):
 
 def _make_a_apply(kh, p_pad):
     """``t = A(K) s`` on the packed state (128, half) — the quaternion-skew
-    action (`/root/reference/main.cpp:72-75`) as 12 aligned VPU FMAs."""
+    action (`/root/reference/main.cpp:72-75`) as 12 aligned VPU FMAs.
+    Only the curvature components of each slot's strain list are read."""
 
     def a_apply(s):
         blocks = []
-        for h, (k0, k1, k2) in enumerate(kh):
+        for h, (k0, k1, k2) in enumerate([kk[:3] for kk in kh]):
             sw, sx, sy, sz = _component_slices(s, h, p_pad)
             blocks += [
                 -k0 * sx - k1 * sy - k2 * sz,
@@ -154,28 +158,51 @@ def _picard_loop(mm, w, g_rhs, a_apply, iters, shape=None):
     return s
 
 
-def _tangent_blocks(s, rpc, p_pad):
+def _tangent_blocks(s, rpc, p_pad, kh=None):
     """Unnormalized rod tangent scaled x2 (so ``I (x) G~/2`` integrates it);
-    component block 3 zero-padded.  (`main.cpp:130-136` semantics.)"""
+    component block 3 zero-padded.  (`main.cpp:130-136` semantics.)
+
+    When the per-slot strain lists in ``kh`` carry 6 components, the last 3
+    are the Reissner shear/extension ``gamma`` and the tangent becomes the
+    full ``R(q) (e1 + gamma)`` (the reference's dead-``ad()`` extension,
+    `utilities.h:27-37`); otherwise the Kirchhoff ``R(q) e1`` column.
+    """
+    six_dof = kh is not None and len(kh[0]) == 6
     blocks = []
     for h in range(rpc):
         sw, sx, sy, sz = _component_slices(s, h, p_pad)
+        if not six_dof:
+            blocks += [
+                2.0 - 4.0 * (sy * sy + sz * sz),
+                4.0 * (sx * sy + sw * sz),
+                4.0 * (sx * sz - sw * sy),
+                jnp.zeros_like(sw),
+            ]
+            continue
+        g0, g1, g2 = kh[h][3], kh[h][4], kh[h][5]
+        xx, yy, zz = sx * sx, sy * sy, sz * sz
+        xy, xz, yz = sx * sy, sx * sz, sy * sz
+        wx, wy, wz = sw * sx, sw * sy, sw * sz
+        e0 = 1.0 + g0
         blocks += [
-            2.0 - 4.0 * (sy * sy + sz * sz),
-            4.0 * (sx * sy + sw * sz),
-            4.0 * (sx * sz - sw * sy),
+            2.0 * ((1.0 - 2.0 * (yy + zz)) * e0
+                   + 2.0 * (xy - wz) * g1 + 2.0 * (xz + wy) * g2),
+            2.0 * (2.0 * (xy + wz) * e0
+                   + (1.0 - 2.0 * (xx + zz)) * g1 + 2.0 * (yz - wx) * g2),
+            2.0 * (2.0 * (xz - wy) * e0
+                   + 2.0 * (yz + wx) * g1 + (1.0 - 2.0 * (xx + yy)) * g2),
             jnp.zeros_like(sw),
         ]
     return jnp.concatenate(blocks, axis=0)
 
 
 def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
-            iters, ne, precision, p_pad, rpc):
+            iters, ne, precision, p_pad, rpc, na=3):
     bt = qe_ref.shape[1]          # rods per tile
     half = bt // rpc              # columns of the packed state
 
     mm = _make_mm(precision)
-    kh = _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc)
+    kh = _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc, na)
     a_apply = _make_a_apply(kh, p_pad)
 
     w = w_ref[:, :]               # (128, 128) = I_{4 rpc} (x) (G~ / 2)
@@ -185,11 +212,12 @@ def _kernel(qe_ref, w_ref, ptab_ref, g_rhs_ref, q_out_ref, r_out_ref, *,
     s = _picard_loop(mm, w, g_rhs, a_apply, iters,
                      shape=(4 * rpc * p_pad, half))
     q_out_ref[:, :] = s
-    r_out_ref[:, :] = mm(w, _tangent_blocks(s, rpc, p_pad))
+    r_out_ref[:, :] = mm(w, _tangent_blocks(s, rpc, p_pad, kh))
 
 
 def _kernel_bc(qe_ref, w_ref, ptab_ref, dn_in_ref, q0_ref, r0_ref,
-               q_out_ref, r_out_ref, *, iters, ne, precision, p_pad, rpc):
+               q_out_ref, r_out_ref, *, iters, ne, precision, p_pad, rpc,
+               na=3):
     """General-boundary-condition variant: per-rod ``q_init`` / ``r_init``.
 
     ``q0_ref (4, B_t)``, ``r0_ref (4, B_t)`` (row 3 zero-padded) carry the
@@ -201,7 +229,7 @@ def _kernel_bc(qe_ref, w_ref, ptab_ref, dn_in_ref, q0_ref, r0_ref,
     half = bt // rpc
 
     mm = _make_mm(precision)
-    kh = _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc)
+    kh = _curvature_slices(mm, qe_ref, ptab_ref, ne, half, rpc, na)
     a_apply = _make_a_apply(kh, p_pad)
     w = w_ref[:, :]
     din = dn_in_ref[:, :]               # (p_pad, 1)
@@ -221,7 +249,7 @@ def _kernel_bc(qe_ref, w_ref, ptab_ref, dn_in_ref, q0_ref, r0_ref,
     q_out_ref[:, :] = s
 
     # position: r = G (b - dn_in (x) r0) = W (2b - 2 dn_in (x) r0)
-    r_out_ref[:, :] = mm(w, _tangent_blocks(s, rpc, p_pad)
+    r_out_ref[:, :] = mm(w, _tangent_blocks(s, rpc, p_pad, kh)
                          + outer_rhs(r0_ref, -2.0))
 
 
@@ -273,11 +301,6 @@ def unpack_state(packed, b: int, npts: int, comp: int,
 def _constants(cfg: rod_model.RodConfig, p_pad: int, rpc: int):
     grid = cfg.grid
     npts = grid.num_unknown
-    if cfg.na != 3:
-        raise NotImplementedError(
-            "fused kernels cover the Kirchhoff na=3 case; use the XLA "
-            "picard/dense paths for 6-DoF strains"
-        )
     g_pad = np.zeros((p_pad, p_pad), np.float64)
     g_pad[:npts, :npts] = grid.ginv
     w = np.kron(np.eye(4 * rpc), 0.5 * g_pad).astype(np.float32)  # (128, 128)
@@ -337,7 +360,7 @@ def rod_shape_fused(qes, cfg: rod_model.RodConfig = rod_model.RodConfig(),
 
     w, ptab, g_rhs = _constants(cfg, p_pad, rpc)
     kernel = functools.partial(
-        _kernel, iters=iters, ne=cfg.ne,
+        _kernel, iters=iters, ne=cfg.ne, na=cfg.na,
         precision=_PRECISIONS[precision], p_pad=p_pad, rpc=rpc,
     )
     out_spec = pl.BlockSpec((128, half), lambda i: (0, i),
@@ -443,7 +466,7 @@ def rod_shape_fused_bc(qes, q_init, r_init,
     dn_in = np.zeros((p_pad, 1), np.float32)
     dn_in[:npts, 0] = cfg.grid.dn_in
     kernel = functools.partial(
-        _kernel_bc, iters=iters, ne=cfg.ne,
+        _kernel_bc, iters=iters, ne=cfg.ne, na=cfg.na,
         precision=_PRECISIONS[precision], p_pad=p_pad, rpc=rpc,
     )
     out_spec = pl.BlockSpec((128, half), lambda i: (0, i),

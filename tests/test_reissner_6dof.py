@@ -9,6 +9,31 @@ from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.model
 CFG6 = rod.RodConfig(n=16, na=6, ne=3)
 
 
+def test_timoshenko_tip_deflection():
+    """Shear-compliant statics gate: a cantilever under a small transverse
+    tip force deflects by F L^3 / (3 EI) + F L / (GA) (Timoshenko beam
+    theory; exact in the linear limit)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        cosserat,
+    )
+
+    EI, GA, EA, GJ = 1.0, 10.0, 50.0, 1.0
+    L, F = 1.0, 1e-3
+    cfg = cosserat.StaticsConfig(
+        rod=rod.RodConfig(n=16, na=6, ne=3, length=L),
+        stiffness=(GJ, EI, EI, EA, GA, GA),
+    )
+    sol = cosserat.solve_statics(jnp.asarray([0.0, 0.0, F]), cfg=cfg,
+                                 tol=1e-12, max_iter=20)
+    assert bool(sol.converged)
+    shape = rod.rod_shape(sol.qe, cfg=cfg.rod, method="dense")
+    tip_z = float(shape.tip_position[2])
+    expected = F * L**3 / (3 * EI) + F * L / GA
+    np.testing.assert_allclose(tip_z, expected, rtol=1e-5)
+    # the shear term must actually matter at this GA
+    assert abs(tip_z - F * L**3 / (3 * EI)) > 0.2 * F * L / GA
+
+
 def test_pure_extension_scales_centerline():
     """kappa = 0, gamma = (eps, 0, 0): straight rod stretched by 1+eps."""
     eps = 0.25
@@ -60,20 +85,65 @@ def test_combined_bend_and_extension_picard():
                                np.asarray(sol_d.positions), atol=1e-5)
 
 
-def test_refined_rejects_6dof():
-    with pytest.raises(NotImplementedError, match="6-DoF"):
-        rod.rod_shape(jnp.zeros(18, jnp.float32), cfg=CFG6, method="refined")
+def test_refined_6dof_matches_dense_f64():
+    """The dd-refined path at na=6: ~1e-12 vs the dense f64 solve."""
+    rng = np.random.default_rng(2)
+    qe64 = rng.standard_normal((4, 18)) * 0.5
+    sol_d = rod.rod_shape(jnp.asarray(qe64), cfg=CFG6, method="dense")
+    sol_r = rod.rod_shape(rod.split_strain(qe64), cfg=CFG6, method="refined")
+    np.testing.assert_allclose(sol_r.positions_f64(),
+                               np.asarray(sol_d.positions), atol=1e-11)
+    np.testing.assert_allclose(sol_r.quaternions_f64(),
+                               np.asarray(sol_d.quaternions), atol=1e-11)
 
 
-def test_fused_paths_reject_6dof():
-    """Regression: the Pallas kernels only model curvature; they must refuse
-    na=6 configs instead of silently dropping gamma."""
+def test_fused_6dof_matches_picard():
+    """The fused Pallas kernel at na=6: gamma enters the in-kernel tangent."""
     from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
         rod_kernel,
     )
 
-    with pytest.raises(NotImplementedError, match="na=3"):
-        rod.rod_shape_refined_fused(jnp.zeros((4, 18), jnp.float32), cfg=CFG6)
-    with pytest.raises(NotImplementedError, match="na=3"):
-        rod_kernel.rod_shape_fused(jnp.zeros((4, 18), jnp.float32), cfg=CFG6,
-                                   interpret=True)
+    rng = np.random.default_rng(3)
+    qes = jnp.asarray(rng.standard_normal((64, 18)) * 0.5, jnp.float32)
+    qk, rk = rod_kernel.rod_shape_fused(qes, cfg=CFG6, tile=64,
+                                        interpret=True)
+    ref = rod.rod_shape(qes, cfg=CFG6, method="picard", iters=20)
+    np.testing.assert_allclose(np.asarray(rk), np.asarray(ref.positions),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(qk), np.asarray(ref.quaternions),
+                               atol=5e-5)
+
+
+def test_fused_bc_6dof_matches_picard():
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
+        rod_kernel,
+    )
+
+    rng = np.random.default_rng(4)
+    qes = jnp.asarray(rng.standard_normal((32, 18)) * 0.5, jnp.float32)
+    q0 = jnp.asarray(rng.standard_normal((32, 4)), jnp.float32)
+    q0 = q0 / jnp.linalg.norm(q0, axis=-1, keepdims=True)
+    r0 = jnp.asarray(rng.standard_normal((32, 3)), jnp.float32)
+    qk, rk = rod_kernel.rod_shape_fused_bc(qes, q0, r0, cfg=CFG6, tile=32,
+                                           interpret=True)
+    ref = rod.rod_shape(qes, q_init=q0, r_init=r0, cfg=CFG6, method="picard",
+                        iters=20)
+    # bf16x3 ('high') matmul error scales with |r| (~1.5 here from the
+    # random r0): 2e-4 absolute ~ the kernel's f32-tier contract.
+    np.testing.assert_allclose(np.asarray(rk), np.asarray(ref.positions),
+                               atol=2e-4)
+
+
+def test_refined_fused_6dof_hits_gate():
+    """Staged refined-fused path at na=6 vs dense f64: <= 1e-8 rel."""
+    rng = np.random.default_rng(5)
+    qe64 = rng.standard_normal((64, 18)) * 0.5
+    sol = rod.rod_shape_refined_fused(rod.split_strain(qe64), cfg=CFG6,
+                                      refine_steps=1, tile=64, interpret=True)
+    ref = rod.rod_shape(jnp.asarray(qe64), cfg=CFG6, method="dense")
+    r_ref = np.asarray(ref.positions)
+    rel = np.max(np.abs(sol.positions_f64() - r_ref)) / np.max(np.abs(r_ref))
+    assert rel < 1e-8, rel
+    with pytest.raises(ValueError, match="na=3"):
+        rod.rod_shape_refined_fused(rod.split_strain(qe64), cfg=CFG6,
+                                    single_kernel=True)

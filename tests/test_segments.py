@@ -96,6 +96,95 @@ def test_high_order_picard_converges():
                                np.asarray(dense.positions), atol=1e-9)
 
 
+def _oracle_chain(seg_qe64, cfg):
+    """f64 chained oracle solve: per-segment reference semantics with the
+    junction state threaded through (ground truth for the dd chains)."""
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    r = np.zeros(3)
+    tips_q, tips_r = [], []
+    for s, seg in enumerate(cfg.segments):
+        q_stack, r_stack = oracle.integrate_position(
+            seg_qe64[s], q_init=q, r_init=r, n=seg.n, length=seg.length
+        )
+        npts = seg.n - 1
+        q = np.array([q_stack[0], q_stack[npts], q_stack[2 * npts],
+                      q_stack[3 * npts]])
+        r = r_stack[0]
+        tips_q.append(q)
+        tips_r.append(r)
+    return np.stack(tips_q), np.stack(tips_r)
+
+
+def test_bc_kernel_matches_oracle_general_inits():
+    """The refined BC kernel at random junction states: ~1e-9 absolute vs
+    the f64 oracle with the same inits."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
+        refined_kernel as rfk,
+    )
+
+    rng = np.random.default_rng(21)
+    qes64 = rng.standard_normal((8, 9))
+    q064 = rng.standard_normal((8, 4))
+    q064 /= np.linalg.norm(q064, axis=-1, keepdims=True)
+    r064 = rng.standard_normal((8, 3))
+
+    qe_hi, qe_lo = rod.split_strain(qes64)
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import (
+        doubledouble as dd,
+    )
+
+    q0_hi, q0_lo = dd.split_f64(q064)
+    r0_hi, r0_lo = dd.split_f64(r064)
+    q_hi, q_lo, r_hi, r_lo = rfk.rod_shape_refined_kernel_bc(
+        jnp.asarray(qe_hi), jnp.asarray(q0_hi), jnp.asarray(r0_hi),
+        qes_lo=jnp.asarray(qe_lo), q_init_lo=jnp.asarray(q0_lo),
+        r_init_lo=jnp.asarray(r0_lo), tile=64, interpret=True,
+    )
+    qk = np.asarray(q_hi, np.float64) + np.asarray(q_lo, np.float64)
+    rk = np.asarray(r_hi, np.float64) + np.asarray(r_lo, np.float64)
+    for i in range(8):
+        q_ref, r_ref = oracle.integrate_position(qes64[i], q_init=q064[i],
+                                                 r_init=r064[i])
+        q_flat = np.swapaxes(qk[i], -1, -2).reshape(-1)
+        assert np.max(np.abs(q_flat - q_ref)) < 1e-9
+        assert np.max(np.abs(rk[i] - r_ref)) < 1e-9
+
+
+def test_segmented_refined_fused_hits_gate_vs_oracle_chain():
+    """VERDICT r1 done-criterion: multi-segment refined-fused within 1e-8
+    of the f64 oracle chained solve (junctions never drop to f32)."""
+    rng = np.random.default_rng(13)
+    cfg = segments.uniform_segments(3, n=16, total_length=3.0)
+    seg_qe64 = rng.standard_normal((3, 9))
+    tips_q_ref, tips_r_ref = _oracle_chain(seg_qe64, cfg)
+
+    qe_dd = rod.split_strain(seg_qe64[None])   # lead batch axis of 1
+    sol = segments.segmented_rod_shape(
+        (jnp.asarray(qe_dd[0]), jnp.asarray(qe_dd[1])), cfg,
+        method="refined_fused", tile=64, interpret=True,
+    )
+    scale = np.max(np.abs(tips_r_ref))
+    assert np.max(np.abs(sol.tip_position_f64()[0] - tips_r_ref[-1])) / scale < 1e-8
+    assert np.max(np.abs(sol.tip_quaternion_f64()[0] - tips_q_ref[-1])) < 1e-8
+    # every junction, not just the tip
+    (jq_hi, jq_lo), (jr_hi, jr_lo) = sol.junction_dd
+    jr = np.asarray(jr_hi, np.float64)[0] + np.asarray(jr_lo, np.float64)[0]
+    np.testing.assert_allclose(jr, tips_r_ref, atol=1e-8 * scale)
+
+
+def test_segmented_refined_fused_f32_strain_input():
+    """Plain f32 strain input (no dd pair) also rides the chain."""
+    rng = np.random.default_rng(14)
+    cfg = segments.uniform_segments(2, n=12, total_length=1.0)
+    seg_qe = rng.standard_normal((2, 9)).astype(np.float32)
+    sol = segments.segmented_rod_shape(jnp.asarray(seg_qe)[None], cfg,
+                                       method="refined_fused", tile=64,
+                                       interpret=True)
+    tips_q_ref, tips_r_ref = _oracle_chain(seg_qe.astype(np.float64), cfg)
+    np.testing.assert_allclose(sol.tip_position_f64()[0], tips_r_ref[-1],
+                               atol=1e-8)
+
+
 def test_segmented_fused_matches_picard():
     """method='fused' chains segments through the general-BC Pallas kernel."""
     rng = np.random.default_rng(9)
