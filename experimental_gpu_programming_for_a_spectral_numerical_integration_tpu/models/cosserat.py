@@ -47,13 +47,16 @@ import jax.numpy as jnp
 from ..ops import basis as basis_ops
 from ..ops import chebyshev
 from ..ops import lie
+from ..ops import smallsolve
 from . import rod
 
 __all__ = [
     "StaticsConfig",
     "StaticsSolution",
     "equilibrium_residual",
+    "residual_and_jacobian_fused",
     "solve_statics",
+    "solve_statics_batched",
     "load_continuation",
 ]
 
@@ -122,7 +125,16 @@ def equilibrium_residual(qe, tip_force, tip_moment, cfg: StaticsConfig,
     q_init = jnp.asarray(rod.DEFAULT_Q_INIT, dtype)
     r_init = jnp.zeros(3, dtype)
     q, r = _full_grid_state(rc, qe, q_init, r_init, iters)
+    return _residual_from_state(qe, q, r, tip_force, tip_moment, cfg)
 
+
+def _residual_from_state(qe, q, r, tip_force, tip_moment, cfg: StaticsConfig):
+    """The weak-form balance residual given the full-grid kinematic state —
+    pure XLA, so tangents w.r.t. ``(qe, q, r)`` are plain ``jax.jvp``
+    (the solver-dependent part of the Jacobian enters via the IFT tangents
+    of the state, see :func:`_fused_state_and_tangents`)."""
+    rc = cfg.rod
+    dtype = qe.dtype
     table = jnp.asarray(cfg.full_basis_table, dtype)       # (n, ne)
     w = jnp.asarray(cfg.quad_weights, dtype)               # (n,)
     h = jnp.asarray(cfg.stiffness, dtype)                  # (na,)
@@ -214,7 +226,9 @@ def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
         # One forward pass for the Jacobian; the residual is carried in the
         # loop state (computed once per iterate, not thrice).
         jac = jax.jacfwd(residual)(qe)
-        step = jnp.linalg.solve(jac, res[..., None])[..., 0]
+        # TPU: tiny-n LAPACK batched LU is pathologically slow; the
+        # unrolled Gauss-Jordan runs on the VPU (ops/smallsolve.py).
+        step = smallsolve.gauss_jordan_solve(jac, res)
         qe = qe - damping * step
         return qe, k + 1, residual(qe)
 
@@ -222,6 +236,182 @@ def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
     qe, k, res = jax.lax.while_loop(
         cond, body, (qe0, jnp.zeros((), jnp.int32), r0)
     )
+    rnorm = jnp.linalg.norm(res, axis=-1)
+    return StaticsSolution(qe=qe, iterations=k, residual_norm=rnorm,
+                           converged=rnorm <= tol)
+
+
+def _pick_tile(b: int):
+    """Power-of-two tile covering the batch, capped at the VMEM default."""
+    from ..ops.pallas import rod_kernel as rk
+
+    return min(rk.DEFAULT_TILE, max(8, 1 << (max(b, 1) - 1).bit_length()))
+
+
+def _fused_full_state(qe, rc: rod.RodConfig, iters, tile, interpret):
+    """Full-grid kinematics through the fused Pallas kernel (demo BCs:
+    the statics BVP anchors the base at identity/origin)."""
+    from ..ops.pallas import rod_kernel as rk
+
+    q, r = rk.rod_shape_fused(qe, cfg=rc, iters=iters, tile=tile,
+                              interpret=interpret)
+    base_q = jnp.broadcast_to(
+        jnp.asarray(rod.DEFAULT_Q_INIT, q.dtype), q.shape[:-2] + (1, 4))
+    base_r = jnp.zeros(r.shape[:-2] + (1, 3), r.dtype)
+    return (jnp.concatenate([q, base_q], axis=-2),
+            jnp.concatenate([r, base_r], axis=-2))
+
+
+def _fused_state_and_tangents(qe, cfg: StaticsConfig, iters, tile, interpret):
+    """Primal full-grid state + its Jacobian-mode tangents d(q, r)/d(qe_j)
+    for ALL nq = na*ne strain directions, with the implicit-function rule
+    solved on the MXU: ONE fused primal solve plus ONE batched fused
+    correction solve (directions stacked into the batch axis) replace the
+    nq-chain of differentiated Picard iterations — the kernel-lifted IFT
+    (≙ solve_ivp_picard_implicit's rule, ops/collocation.py:243-268).
+    """
+    from ..ops import lie
+    from ..ops.pallas import rod_kernel as rk
+
+    rc = cfg.rod
+    grid = rc.grid
+    b, nq = qe.shape
+    ne, na = rc.ne, rc.na
+    nk = 3 * ne                       # curvature directions (gamma: dM = 0)
+    npts = grid.num_unknown
+
+    q_full, r_full = _fused_full_state(qe, rc, iters, tile, interpret)
+    q_unk = q_full[..., :npts, :]
+
+    # Direction strain fields are CONSTANT tables: dk_j[p, a] = P_e(x_p)
+    # on the (a, e) unit mode.  (nq, npts, na) one-hot-by-component.
+    table = jnp.asarray(rc.basis_table, jnp.float32)       # (npts, ne)
+    eye_a = jnp.eye(na, dtype=jnp.float32)
+    dk_dirs = jnp.einsum("ab,pe->aebp", eye_a, table).reshape(nq, npts, na)
+
+    # Quaternion tangents (curvature directions only): A dq = 1/2 A(dK) q.
+    dm = 0.5 * lie.quat_skew(dk_dirs[:nk, :, :3])          # (nk, npts, 4, 4)
+    rhs = jnp.einsum("jice,bie->jbic", dm, q_unk)          # (nk, B, npts, 4)
+    dq_k = rk.picard_correction_fused(
+        jnp.tile(qe, (nk, 1)), rhs.reshape(nk * b, npts, 4),
+        cfg=rc, iters=iters, tile=tile, interpret=interpret,
+    ).reshape(nk, b, npts, 4)
+    dq_dirs = (jnp.concatenate(
+        [dq_k, jnp.zeros((nq - nk, b, npts, 4), dq_k.dtype)], axis=0)
+        if nq > nk else dq_k)
+
+    # Position tangents: dr = G db, db from the (pure XLA) tangent map.
+    if na == 6:
+        gamma = basis_ops.strain_at_points(qe, table)[..., 3:]
+        e1 = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+
+        def b_fn(qq, gg):
+            return jnp.einsum("...ij,...j->...i", lie.quat_to_rot(qq),
+                              e1 + gg)
+
+        dgamma = jnp.broadcast_to(dk_dirs[:, None, :, 3:],
+                                  (nq, b, npts, 3))
+        db = jax.vmap(
+            lambda dqj, dgj: jax.jvp(b_fn, (q_unk, gamma), (dqj, dgj))[1]
+        )(dq_dirs, dgamma)
+    else:
+        db = jax.vmap(
+            lambda dqj: jax.jvp(lie.quat_tangent, (q_unk,), (dqj,))[1]
+        )(dq_dirs)
+    ginv = jnp.asarray(grid.ginv_f32)
+    dr_dirs = jnp.einsum("ip,jbpc->jbic", ginv, db, precision="highest")
+    return q_full, r_full, dq_dirs, dr_dirs
+
+
+def residual_and_jacobian_fused(qe, tip_force, tip_moment,
+                                cfg: StaticsConfig, iters: int = 16,
+                                tile: int = None, interpret: bool = False):
+    """Batched residual + exact per-sample Jacobian on the fused path.
+
+    ``qe (B, nq)`` -> ``(res (B, nq), jac (B, nq, nq))``.  The state
+    tangents come from :func:`_fused_state_and_tangents`; the residual map
+    itself is pure XLA so its directional derivatives are plain ``jvp``s.
+    """
+    b, nq = qe.shape
+    q_full, r_full, dq_dirs, dr_dirs = _fused_state_and_tangents(
+        qe, cfg, iters, tile, interpret)
+    npts = cfg.rod.n - 1
+    pad_base = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    dq_full = pad_base(dq_dirs)
+    dr_full = pad_base(dr_dirs)
+    eye = jnp.eye(nq, dtype=qe.dtype)
+
+    def f(qe_, q_, r_):
+        return _residual_from_state(qe_, q_, r_, tip_force, tip_moment, cfg)
+
+    res = f(qe, q_full, r_full)
+
+    def dir_jvp(ej, dqj, drj):
+        return jax.jvp(f, (qe, q_full, r_full),
+                       (jnp.broadcast_to(ej, qe.shape), dqj, drj))[1]
+
+    dres = jax.vmap(dir_jvp)(eye, dq_full, dr_full)        # (nq, B, nq)
+    return res, jnp.moveaxis(dres, 0, -1)                  # (B, nq_out, nq_dir)
+
+
+def solve_statics_batched(tip_force, tip_moment=None,
+                          cfg: StaticsConfig = StaticsConfig(), qe0=None,
+                          tol: float = 1e-5, max_iter: int = 12,
+                          damping: float = 1.0, iters: int = 16,
+                          tile: int = None,
+                          interpret: bool = False) -> StaticsSolution:
+    """Natively-batched Newton on the fused-kernel path.
+
+    ``tip_force (B, 3)`` -> converged strains ``(B, nq)``.  Unlike
+    ``vmap(solve_statics)`` (whose per-sample Picard solves stay XLA,
+    ~44k BVP/s on v5e), every inner solve here is a VMEM-resident Pallas
+    kernel over the whole batch: one fused solve + one direction-stacked
+    fused correction per Newton step.  All samples iterate until the whole
+    batch converges (converged samples stop moving via the active mask).
+    """
+    tip_force = jnp.asarray(tip_force, jnp.float32)
+    b = tip_force.shape[0]
+    rc = cfg.rod
+    nq = rc.na * rc.ne
+    if tip_moment is None:
+        tip_moment = jnp.zeros(3, jnp.float32)
+    tip_moment = jnp.asarray(tip_moment, jnp.float32)
+    if qe0 is None:
+        qe0 = jnp.zeros((b, nq), jnp.float32)
+    qe0 = jnp.asarray(qe0, jnp.float32)
+    if tile is None:
+        tile = _pick_tile(b)
+
+    # tip loads broadcast to (B, n, 3) inside the residual
+    tf = tip_force[:, None, :]
+    tm = tip_moment if tip_moment.ndim == 1 else tip_moment[:, None, :]
+
+    def res_jac(qe):
+        return residual_and_jacobian_fused(qe, tf, tm, cfg, iters=iters,
+                                           tile=tile, interpret=interpret)
+
+    def res_only(qe):
+        q_full, r_full = _fused_full_state(qe, rc, iters, tile, interpret)
+        return _residual_from_state(qe, q_full, r_full, tf, tm, cfg)
+
+    def cond(state):
+        qe, k, res = state
+        return jnp.logical_and(
+            k < max_iter,
+            jnp.any(jnp.linalg.norm(res, axis=-1) > tol),
+        )
+
+    def body(state):
+        qe, k, res = state
+        _, jac = res_jac(qe)
+        step = smallsolve.gauss_jordan_solve(jac, res)
+        active = (jnp.linalg.norm(res, axis=-1) > tol)[..., None]
+        qe = qe - jnp.where(active, damping * step, 0.0)
+        return qe, k + 1, res_only(qe)
+
+    res0 = res_only(qe0)
+    qe, k, res = jax.lax.while_loop(cond, body,
+                                    (qe0, jnp.zeros((), jnp.int32), res0))
     rnorm = jnp.linalg.norm(res, axis=-1)
     return StaticsSolution(qe=qe, iterations=k, residual_norm=rnorm,
                            converged=rnorm <= tol)

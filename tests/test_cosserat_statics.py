@@ -168,3 +168,58 @@ def test_elastica_matches_bisshopp_drucker_table():
     assert tips[1.0] == pytest.approx(0.30172, abs=2e-3)
     assert tips[2.0] == pytest.approx(0.49346, abs=2e-3)
     assert tips[3.0] == pytest.approx(0.60325, abs=2e-3)
+
+
+def test_gauss_jordan_solve_matches_lapack():
+    """ops/smallsolve: the TPU-native batched tiny solve (the LAPACK
+    batched-LU replacement) must match to roundoff, pivoting included."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import (
+        smallsolve,
+    )
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((64, 9, 9))
+    b = rng.standard_normal((64, 9, 2))
+    x = smallsolve.gauss_jordan_solve(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b),
+                               atol=1e-11)
+    # a permutation matrix has zero leading pivots everywhere: pivoting test
+    perm = np.stack([np.eye(6)[rng.permutation(6)] for _ in range(8)])
+    b1 = rng.standard_normal((8, 6))
+    x1 = smallsolve.gauss_jordan_solve(jnp.asarray(perm), jnp.asarray(b1))
+    np.testing.assert_allclose(np.asarray(x1),
+                               np.linalg.solve(perm, b1[..., None])[..., 0],
+                               atol=1e-12)
+
+
+def test_solve_statics_batched_matches_per_sample():
+    """The fused-path batched Newton == vmapped per-sample Newton (both
+    converge to the same equilibria at tol)."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    rng = np.random.default_rng(11)
+    loads = jnp.asarray(rng.uniform(-0.4, 0.4, (16, 3)), jnp.float32)
+    ref = jax.vmap(lambda f: cosserat.solve_statics(
+        f, cfg=cfg, tol=1e-5, max_iter=12, iters=16))(loads)
+    new = cosserat.solve_statics_batched(loads, cfg=cfg, tol=1e-5,
+                                         max_iter=12, iters=16,
+                                         interpret=True)
+    assert np.asarray(new.converged).all()
+    np.testing.assert_allclose(np.asarray(new.qe), np.asarray(ref.qe),
+                               atol=2e-5)
+
+
+def test_solve_statics_batched_6dof():
+    cfg6 = cosserat.StaticsConfig(
+        rod=rod.RodConfig(n=16, na=6, ne=3),
+        stiffness=(1.0, 1.0, 1.0, 50.0, 10.0, 10.0),
+    )
+    rng = np.random.default_rng(12)
+    loads = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 3)), jnp.float32)
+    new = cosserat.solve_statics_batched(loads, cfg=cfg6, tol=1e-5,
+                                         max_iter=12, iters=16,
+                                         interpret=True)
+    assert np.asarray(new.converged).all()
+    ref = jax.vmap(lambda f: cosserat.solve_statics(
+        f, cfg=cfg6, tol=1e-5, max_iter=12, iters=16))(loads)
+    np.testing.assert_allclose(np.asarray(new.qe), np.asarray(ref.qe),
+                               atol=2e-5)
