@@ -54,6 +54,7 @@ __all__ = [
     "StaticsConfig",
     "StaticsSolution",
     "equilibrium_residual",
+    "equilibrium_residual_dd",
     "residual_and_jacobian_fused",
     "solve_statics",
     "solve_statics_batched",
@@ -92,12 +93,27 @@ class StaticsConfig:
     def quad_weights(self) -> np.ndarray:
         return chebyshev.clenshaw_curtis_weights(self.rod.n, self.rod.length)
 
+    @functools.cached_property
+    def full_basis_table_dd(self):
+        from ..ops import doubledouble as dd
+
+        return dd.split_f64(self.full_basis_table)
+
+    @functools.cached_property
+    def weighted_table_dd(self):
+        """dd split of ``w_j P_e(x_j)`` — the weak-form quadrature kernel."""
+        from ..ops import doubledouble as dd
+
+        return dd.split_f64(self.quad_weights[:, None] * self.full_basis_table)
+
 
 class StaticsSolution(NamedTuple):
     qe: jnp.ndarray            # (..., na*ne) converged strain modes
     iterations: jnp.ndarray    # (...,) Newton iterations used
     residual_norm: jnp.ndarray # (...,) final ||res||_2
     converged: jnp.ndarray     # (...,) bool
+    qe_lo: jnp.ndarray = None  # dd low word (dd_residual solves: the
+                               # f32 ulp of qe is ~1e-8, above tight tols)
 
 
 def _full_grid_state(cfg: rod.RodConfig, qe, q_init, r_init, iters):
@@ -241,11 +257,137 @@ def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
                            converged=rnorm <= tol)
 
 
-def _pick_tile(b: int):
-    """Power-of-two tile covering the batch, capped at the VMEM default."""
+def equilibrium_residual_dd(qe, tip_force, tip_moment, cfg: StaticsConfig,
+                            iters: int = 24, refine_steps: int = 2):
+    """Double-word balance residual: ~2^-45-grade cancellation, so
+    device-side Newton can hit 1e-9-class tolerances on f32 hardware
+    (the f32 residual floors near 1e-5/1e-6 from the O(1) terms it
+    differences).
+
+    Kinematics run the refined dd path; every transport/cancellation uses
+    error-free transformations.  The rotation is the **unnormalized**
+    ``R(q)`` — the refined solve keeps ``||q| - 1| ~ 1e-12``, far below the
+    target, so the dd and f32 residual definitions agree to that level.
+    ``qe`` may be a dd pair.  Returns f32 ``(..., na*ne)`` (residual values
+    near zero are fully representable; dd mattered for the cancellation).
+    """
+    from ..ops import doubledouble as dd
+
+    rc = cfg.rod
+    sol = rod.rod_shape(qe, cfg=rc, method="refined", iters=iters,
+                        refine_steps=refine_steps)
+    q_hi, q_lo = sol.quaternions_dd
+    r_hi, r_lo = sol.positions_dd
+    lead = q_hi.shape[:-2]
+    # Append the known base point (identity quaternion / origin, exact).
+    base_q = jnp.broadcast_to(
+        jnp.asarray(rod.DEFAULT_Q_INIT, jnp.float32), lead + (1, 4))
+    q_hi = jnp.concatenate([q_hi, base_q], axis=-2)
+    q_lo = jnp.concatenate([q_lo, jnp.zeros_like(base_q)], axis=-2)
+    zero3 = jnp.zeros(lead + (1, 3), jnp.float32)
+    r_hi = jnp.concatenate([r_hi, zero3], axis=-2)
+    r_lo = jnp.concatenate([r_lo, zero3], axis=-2)
+
+    # Strain field on the full grid, dd.
+    xi_hi, xi_lo = rod._curvature_dd(rc, qe, table_dd=cfg.full_basis_table_dd)
+    if cfg.kappa0 is not None:
+        k0_hi, k0_lo = rod._curvature_dd(
+            rc, dd.split_f64(np.asarray(cfg.kappa0, np.float64)),
+            table_dd=cfg.full_basis_table_dd,
+        )
+        xi_hi, xi_lo = dd.dd_add(xi_hi, xi_lo, -k0_hi, -k0_lo)
+
+    def v3(a_hi, a_lo):
+        return [(a_hi[..., i], a_lo[..., i]) for i in range(3)]
+
+    def cross_dd(a, b):
+        out = []
+        for i, j in ((1, 2), (2, 0), (0, 1)):
+            p1 = dd.dd_mul(*a[i], *b[j])
+            p2 = dd.dd_mul(*a[j], *b[i])
+            out.append(dd.dd_add(*p1, *dd.dd_neg(*p2)))
+        return out
+
+    # arm = r_tip - r; world moment = arm x F + M  (loads exact f32).
+    arm = [
+        dd.dd_add(r_hi[..., :1, i], r_lo[..., :1, i],
+                  -r_hi[..., i], -r_lo[..., i])
+        for i in range(3)
+    ]
+    tip_force = jnp.asarray(tip_force, jnp.float32)
+    tip_moment = jnp.asarray(tip_moment, jnp.float32)
+    shape = arm[0][0].shape
+    f = [(jnp.broadcast_to(tip_force[..., i][..., None], shape),
+          jnp.zeros(shape, jnp.float32)) for i in range(3)]
+    m_world = cross_dd(arm, f)
+    m_world = [dd.dd_add_f32(*m_world[i],
+                             jnp.broadcast_to(tip_moment[..., i][..., None],
+                                              shape))
+               for i in range(3)]
+
+    if cfg.distributed_force is not None:
+        raise NotImplementedError(
+            "equilibrium_residual_dd: distributed_force is f32-path only; "
+            "use equilibrium_residual (the dd gain would be limited by the "
+            "f32 load model anyway)"
+        )
+
+    # Body-frame transports tau = R^T m (and n = R^T F for na=6).
+    r_cols = rod._rot_cols_dd(q_hi, q_lo)
+
+    def rt_apply(vec):
+        out = []
+        for j in range(3):
+            acc = dd.dd_mul(*r_cols[j][0], *vec[0])
+            acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][1], *vec[1]))
+            acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][2], *vec[2]))
+            out.append(acc)
+        return out
+
+    tau = rt_apply(m_world)
+    if rc.na == 6:
+        tau = tau + rt_apply(f)
+
+    # mr = H xi - tau, dd; H is an exact-split f64 constant.
+    h_hi, h_lo = dd.split_f64(np.asarray(cfg.stiffness, np.float64))
+    mr = []
+    for a in range(rc.na):
+        hk = dd.dd_mul(jnp.asarray(h_hi[a]), jnp.asarray(h_lo[a]),
+                       xi_hi[..., a], xi_lo[..., a])
+        mr.append(dd.dd_add(*hk, *dd.dd_neg(*tau[a])))
+
+    # Weak form: res[a, e] = sum_j (w P_e)(x_j) mr[j, a], dd contraction
+    # unrolled over the n grid points.
+    wp_hi, wp_lo = cfg.weighted_table_dd          # (n, ne)
+    n = rc.n
+    res = []
+    for a in range(rc.na):
+        mh, ml = mr[a]
+        for e in range(rc.ne):
+            hs, ls = [], []
+            for j in range(n):
+                ph, plo = dd.dd_mul(jnp.asarray(wp_hi[j, e]),
+                                    jnp.asarray(wp_lo[j, e]),
+                                    mh[..., j], ml[..., j])
+                hs.append(ph)
+                ls.append(plo)
+            th, tl = dd.dd_sum_tree(hs, ls)
+            res.append(th + tl)
+    return jnp.stack(res, axis=-1)
+
+
+def _pick_tile(b: int, rc: rod.RodConfig):
+    """Power-of-two tile covering the batch, capped at the VMEM default.
+
+    Floor of ``128 * rods_per_column``: the packed state's lane dimension
+    is ``tile / rpc`` and Mosaic requires lane blocks divisible by 128
+    (smaller batches just pad up one tile).
+    """
     from ..ops.pallas import rod_kernel as rk
 
-    return min(rk.DEFAULT_TILE, max(8, 1 << (max(b, 1) - 1).bit_length()))
+    _, rpc = rk._packing(rc.n - 1)
+    return min(rk.DEFAULT_TILE,
+               max(128 * rpc, 1 << (max(b, 1) - 1).bit_length()))
 
 
 def _fused_full_state(qe, rc: rod.RodConfig, iters, tile, interpret):
@@ -358,8 +500,9 @@ def solve_statics_batched(tip_force, tip_moment=None,
                           cfg: StaticsConfig = StaticsConfig(), qe0=None,
                           tol: float = 1e-5, max_iter: int = 12,
                           damping: float = 1.0, iters: int = 16,
-                          tile: int = None,
-                          interpret: bool = False) -> StaticsSolution:
+                          tile: int = None, interpret: bool = False,
+                          dd_residual: bool = False, dd_iters: int = 24,
+                          refine_steps: int = 2) -> StaticsSolution:
     """Natively-batched Newton on the fused-kernel path.
 
     ``tip_force (B, 3)`` -> converged strains ``(B, nq)``.  Unlike
@@ -368,6 +511,12 @@ def solve_statics_batched(tip_force, tip_moment=None,
     kernel over the whole batch: one fused solve + one direction-stacked
     fused correction per Newton step.  All samples iterate until the whole
     batch converges (converged samples stop moving via the active mask).
+
+    ``dd_residual=True`` evaluates the convergence residual in double-word
+    arithmetic (:func:`equilibrium_residual_dd`) while keeping the f32
+    fused Jacobian: Newton's self-correction then drives the TRUE residual
+    to ``tol`` as tight as ~1e-9 on f32 hardware (the f32 residual floors
+    near 1e-6 from cancellation).
     """
     tip_force = jnp.asarray(tip_force, jnp.float32)
     b = tip_force.shape[0]
@@ -380,7 +529,7 @@ def solve_statics_batched(tip_force, tip_moment=None,
         qe0 = jnp.zeros((b, nq), jnp.float32)
     qe0 = jnp.asarray(qe0, jnp.float32)
     if tile is None:
-        tile = _pick_tile(b)
+        tile = _pick_tile(b, rc)
 
     # tip loads broadcast to (B, n, 3) inside the residual
     tf = tip_force[:, None, :]
@@ -390,31 +539,43 @@ def solve_statics_batched(tip_force, tip_moment=None,
         return residual_and_jacobian_fused(qe, tf, tm, cfg, iters=iters,
                                            tile=tile, interpret=interpret)
 
-    def res_only(qe):
-        q_full, r_full = _fused_full_state(qe, rc, iters, tile, interpret)
-        return _residual_from_state(qe, q_full, r_full, tf, tm, cfg)
+    from ..ops import doubledouble as dd
+
+    def res_only(qe_pair):
+        if dd_residual:
+            return equilibrium_residual_dd(qe_pair, tip_force, tip_moment,
+                                           cfg, iters=dd_iters,
+                                           refine_steps=refine_steps)
+        q_full, r_full = _fused_full_state(qe_pair[0], rc, iters, tile,
+                                           interpret)
+        return _residual_from_state(qe_pair[0], q_full, r_full, tf, tm, cfg)
 
     def cond(state):
-        qe, k, res = state
+        _, _, k, res = state
         return jnp.logical_and(
             k < max_iter,
             jnp.any(jnp.linalg.norm(res, axis=-1) > tol),
         )
 
     def body(state):
-        qe, k, res = state
-        _, jac = res_jac(qe)
+        # The strain iterate is a dd pair: Newton steps shrink below the
+        # f32 ulp of qe (~1e-8 relative) long before tight tolerances.
+        qe_hi, qe_lo, k, res = state
+        _, jac = res_jac(qe_hi)
         step = smallsolve.gauss_jordan_solve(jac, res)
         active = (jnp.linalg.norm(res, axis=-1) > tol)[..., None]
-        qe = qe - jnp.where(active, damping * step, 0.0)
-        return qe, k + 1, res_only(qe)
+        step = jnp.where(active, damping * step, 0.0)
+        qe_hi, qe_lo = dd.dd_add(qe_hi, qe_lo, -step, jnp.zeros_like(step))
+        return qe_hi, qe_lo, k + 1, res_only((qe_hi, qe_lo))
 
-    res0 = res_only(qe0)
-    qe, k, res = jax.lax.while_loop(cond, body,
-                                    (qe0, jnp.zeros((), jnp.int32), res0))
+    qe0_lo = jnp.zeros_like(qe0)
+    res0 = res_only((qe0, qe0_lo))
+    qe, qe_lo_out, k, res = jax.lax.while_loop(
+        cond, body, (qe0, qe0_lo, jnp.zeros((), jnp.int32), res0))
     rnorm = jnp.linalg.norm(res, axis=-1)
     return StaticsSolution(qe=qe, iterations=k, residual_norm=rnorm,
-                           converged=rnorm <= tol)
+                           converged=rnorm <= tol,
+                           qe_lo=qe_lo_out if dd_residual else None)
 
 
 def load_continuation(tip_forces, tip_moments=None,

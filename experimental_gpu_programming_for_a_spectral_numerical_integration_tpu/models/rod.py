@@ -130,13 +130,14 @@ def _as_dd_input(qe):
     return jnp.asarray(qe, jnp.float32), None
 
 
-def _curvature_dd(cfg: RodConfig, qe):
-    """Curvature in double-word form from the exact f64 basis table.
+def _curvature_dd(cfg: RodConfig, qe, table_dd=None):
+    """Strain field in double-word form from the exact f64 basis table.
 
     ``qe`` may be an f32 array or a dd pair ``(hi, lo)`` from
-    :func:`split_strain`.
+    :func:`split_strain`.  ``table_dd`` overrides the config's
+    unknown-points table (e.g. the statics BVP evaluates on the full grid).
     """
-    p_hi, p_lo = cfg.basis_table_dd
+    p_hi, p_lo = cfg.basis_table_dd if table_dd is None else table_dd
     qe_hi, qe_lo = _as_dd_input(qe)
     shape = qe_hi.shape[:-1] + (cfg.na, cfg.ne)
     modes_hi = qe_hi.reshape(shape)[..., None, :, :]            # (..., 1, na, ne)
@@ -270,13 +271,13 @@ def _tangent_dd(q_hi, q_lo):
     return hi, lo
 
 
-def _tangent_dd_6dof(q_hi, q_lo, g_hi, g_lo):
-    """Double-word Reissner tangent ``t = R(q) (e1 + gamma)``.
+def _rot_cols_dd(q_hi, q_lo):
+    """Columns of the **unnormalized** rotation ``R(q)`` in double-word form.
 
-    Same unnormalized-rotation semantics as :func:`_tangent_dd` (which is
-    the ``gamma = 0`` special case, `main.cpp:130-136`), extended with the
-    shear/extension columns of ``R`` — the capability the reference's dead
-    ``ad()`` signals (`utilities.h:27-37`).  ``g``: dd pair ``(..., np, 3)``.
+    ``r_cols[j][i]`` is the dd pair ``R[i, j]`` — same Eigen-formula
+    semantics as :func:`ops.lie.quat_to_rot` (`main.cpp:130-136`), computed
+    with error-free products.  Shared by the dd tangent maps and the
+    dd statics residual (``R^T m`` transports).
     """
     comps = [(q_hi[..., i], q_lo[..., i]) for i in range(4)]
     (w, x, y, z) = comps
@@ -296,12 +297,27 @@ def _tangent_dd_6dof(q_hi, q_lo, g_hi, g_lo):
         t = dd.dd_add(*a, *dd.dd_scale(*b, sign))
         return dd.dd_scale(*t, 2.0)
 
-    r_cols = [
-        # column 0 (= _tangent_dd), 1, 2 of the unnormalized R(q)
+    return [
+        # column 0 (= the Kirchhoff tangent), 1, 2 of the unnormalized R(q)
         (diag(yy, zz), off(xy, wz, 1.0), off(xz, wy, -1.0)),
         (off(xy, wz, -1.0), diag(xx, zz), off(yz, wx, 1.0)),
         (off(xz, wy, 1.0), off(yz, wx, -1.0), diag(xx, yy)),
     ]
+
+
+def _tangent_dd_6dof(q_hi, q_lo, g_hi, g_lo):
+    """Double-word Reissner tangent ``t = R(q) (e1 + gamma)``.
+
+    Same unnormalized-rotation semantics as :func:`_tangent_dd` (which is
+    the ``gamma = 0`` special case, `main.cpp:130-136`), extended with the
+    shear/extension columns of ``R`` — the capability the reference's dead
+    ``ad()`` signals (`utilities.h:27-37`).  ``g``: dd pair ``(..., np, 3)``.
+    """
+    r_cols = _rot_cols_dd(q_hi, q_lo)
+
+    def m(a, b):
+        return dd.dd_mul(a[0], a[1], b[0], b[1])
+
     g = [(g_hi[..., a], g_lo[..., a]) for a in range(3)]
     rows_hi, rows_lo = [], []
     for i in range(3):
