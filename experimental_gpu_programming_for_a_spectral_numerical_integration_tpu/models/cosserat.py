@@ -58,6 +58,8 @@ __all__ = [
     "residual_and_jacobian_fused",
     "solve_statics",
     "solve_statics_batched",
+    "arc_length_continuation",
+    "ContinuationPath",
     "load_continuation",
 ]
 
@@ -81,6 +83,11 @@ class StaticsConfig:
     stiffness: tuple = (1.0, 1.0, 1.0)
     kappa0: tuple | None = None
     distributed_force: tuple | None = None
+    # follower=True: the tip force is given in the TIP BODY frame and
+    # rotates with the deformation (F_world = R(tip) F_body) — the
+    # non-conservative load case (e.g. a thruster at the rod tip).  The
+    # tip moment stays a dead (world-frame) couple.
+    follower: bool = False
 
     @functools.cached_property
     def full_basis_table(self) -> np.ndarray:
@@ -116,10 +123,15 @@ class StaticsSolution(NamedTuple):
                                # f32 ulp of qe is ~1e-8, above tight tols)
 
 
-def _full_grid_state(cfg: rod.RodConfig, qe, q_init, r_init, iters):
+def _full_grid_state(cfg: rod.RodConfig, qe, q_init, r_init, iters,
+                     method: str = "picard"):
     """Kinematics on the FULL grid: solved unknowns + the known base point
-    appended at the end (descending grid: index n-1 is the base)."""
-    sol = rod.rod_shape(qe, q_init, r_init, cfg=cfg, method="picard",
+    appended at the end (descending grid: index n-1 is the base).
+
+    ``method='dense'`` for strong-curvature regimes (``rho = |K| L/2 > ~5``
+    diverges the Picard iteration — the forward model, and with it Newton,
+    silently degrades; see diagnostics.picard_error_bound)."""
+    sol = rod.rod_shape(qe, q_init, r_init, cfg=cfg, method=method,
                         iters=iters, normalize_quaternions=False)
     q_base = jnp.broadcast_to(
         jnp.asarray(q_init, sol.quaternions.dtype), qe.shape[:-1] + (1, 4)
@@ -133,14 +145,14 @@ def _full_grid_state(cfg: rod.RodConfig, qe, q_init, r_init, iters):
 
 
 def equilibrium_residual(qe, tip_force, tip_moment, cfg: StaticsConfig,
-                         iters: int = 24):
+                         iters: int = 24, method: str = "picard"):
     """Modal moment-balance residual ``(..., na*ne)`` (zero at equilibrium)."""
     rc = cfg.rod
     qe = jnp.asarray(qe)
     dtype = qe.dtype
     q_init = jnp.asarray(rod.DEFAULT_Q_INIT, dtype)
     r_init = jnp.zeros(3, dtype)
-    q, r = _full_grid_state(rc, qe, q_init, r_init, iters)
+    q, r = _full_grid_state(rc, qe, q_init, r_init, iters, method)
     return _residual_from_state(qe, q, r, tip_force, tip_moment, cfg)
 
 
@@ -173,7 +185,13 @@ def _residual_from_state(qe, q, r, tip_force, tip_moment, cfg: StaticsConfig):
     rot = lie.quat_to_rot_normalized(q)                    # (..., n, 3, 3)
     r_tip = r[..., :1, :]                                  # tip is point 0
     arm = r_tip - r                                        # (..., n, 3)
-    f = jnp.broadcast_to(jnp.asarray(tip_force, dtype), arm.shape)
+    tip_force = jnp.asarray(tip_force, dtype)
+    if cfg.follower:
+        # follower force: rotate the body-frame tip load into the world
+        # at the CURRENT tip orientation (non-conservative).
+        tip_force = jnp.einsum("...ij,...j->...i", rot[..., :1, :, :],
+                               tip_force, precision="highest")
+    f = jnp.broadcast_to(tip_force, arm.shape)
     world_moment = jnp.cross(arm, f) + jnp.asarray(tip_moment, dtype)
 
     if cfg.distributed_force is not None:
@@ -214,7 +232,8 @@ def _residual_from_state(qe, q, r, tip_force, tip_moment, cfg: StaticsConfig):
 def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
                   cfg: StaticsConfig = StaticsConfig(), qe0=None,
                   tol: float = 1e-9, max_iter: int = 30,
-                  damping: float = 1.0, iters: int = 24) -> StaticsSolution:
+                  damping: float = 1.0, iters: int = 24,
+                  method: str = "picard") -> StaticsSolution:
     """Newton on :func:`equilibrium_residual` with exact AD Jacobians.
 
     jit/vmap-compatible (``lax.while_loop`` with static shapes).  For
@@ -231,7 +250,8 @@ def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
     tip_moment = jnp.asarray(tip_moment, dtype)
 
     def residual(qe):
-        return equilibrium_residual(qe, tip_force, tip_moment, cfg, iters)
+        return equilibrium_residual(qe, tip_force, tip_moment, cfg, iters,
+                                    method)
 
     def cond(state):
         _, k, res = state
@@ -576,6 +596,130 @@ def solve_statics_batched(tip_force, tip_moment=None,
     return StaticsSolution(qe=qe, iterations=k, residual_norm=rnorm,
                            converged=rnorm <= tol,
                            qe_lo=qe_lo_out if dd_residual else None)
+
+
+class ContinuationPath(NamedTuple):
+    """Solution path from :func:`arc_length_continuation`.
+
+    ``lambdas (steps,)``, ``qes (steps, nq)``, ``converged (steps,)``.
+    A decreasing stretch of ``lambdas`` is the tell-tale of a passed limit
+    point (fold) — the regime plain load-stepped Newton cannot traverse.
+    """
+
+    lambdas: jnp.ndarray
+    qes: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def arc_length_continuation(load_ref, cfg: StaticsConfig = StaticsConfig(),
+                            tip_moment_ref=(0.0, 0.0, 0.0), qe0=None,
+                            ds: float = 0.2, steps: int = 40,
+                            tol: float = 1e-8, max_corrector: int = 25,
+                            psi: float = 1.0, iters: int = 24,
+                            method: str = "picard",
+                            lambda_start: float = 0.0):
+    """Riks/arc-length continuation of ``res(qe, lambda * load_ref) = 0``.
+
+    Newton-on-the-augmented-system with the normal-plane (Riks) constraint
+    ``t . (x - x_pred) = 0``: the iteration parameterizes the path by arc
+    length instead of the load factor, so it walks THROUGH limit points
+    where every load-controlled Newton (``solve_statics``,
+    ``load_continuation``) necessarily jumps branches or diverges —
+    BASELINE config #5's continuation pattern completed for snap-through.
+    ``psi`` weights the load-factor component of the arc metric.
+
+    Works with dead or ``follower`` loads (``res`` is linear in ``lambda``
+    either way, so ``d res/d lambda`` is one extra residual evaluation).
+    Single-path (host loop over ``steps``; each corrector is one jitted
+    ``lax.while_loop``).  Returns :class:`ContinuationPath`.
+    """
+    rc = cfg.rod
+    nq = rc.na * rc.ne
+    load_ref = jnp.asarray(load_ref)
+    dtype = load_ref.dtype if load_ref.dtype in (jnp.float32, jnp.float64) \
+        else jnp.float32
+    load_ref = jnp.asarray(load_ref, dtype)
+    tip_moment_ref = jnp.asarray(tip_moment_ref, dtype)
+    if qe0 is None:
+        qe0 = jnp.zeros(nq, dtype) if cfg.kappa0 is None else jnp.asarray(
+            cfg.kappa0, dtype)
+    qe0 = jnp.asarray(qe0, dtype)
+
+    def res(qe, lam):
+        return equilibrium_residual(qe, lam * load_ref,
+                                    lam * tip_moment_ref, cfg, iters, method)
+
+    def res_lam(qe, lam):
+        # res is affine in lambda (dead AND follower loads): exact slope.
+        return res(qe, 1.0) - res(qe, 0.0)
+
+    @jax.jit
+    def tangent(qe, lam, t_prev):
+        j = jax.jacfwd(res)(qe, lam)
+        dqe = smallsolve.gauss_jordan_solve(j, -res_lam(qe, lam))
+        t = jnp.concatenate([dqe, jnp.ones(1, dtype)])
+        t = t / jnp.sqrt(jnp.sum(dqe * dqe) + psi ** 2)
+        # orientation continuity: keep walking the same way along the path
+        flip = jnp.sum(t * t_prev) < 0
+        return jnp.where(flip, -t, t)
+
+    @jax.jit
+    def corrector(x_pred, t):
+        def aug(x):
+            r = res(x[:nq], x[nq])
+            c = jnp.sum(t[:nq] * (x[:nq] - x_pred[:nq])) \
+                + psi ** 2 * t[nq] * (x[nq] - x_pred[nq])
+            return jnp.concatenate([r, c[None]])
+
+        def cond(state):
+            x, k, rn = state
+            return jnp.logical_and(k < max_corrector, rn > tol)
+
+        def body(state):
+            x, k, _ = state
+            j = jax.jacfwd(aug)(x)
+            step = smallsolve.gauss_jordan_solve(j, aug(x))
+            x = x - step
+            return x, k + 1, jnp.linalg.norm(aug(x))
+
+        x, k, rn = jax.lax.while_loop(
+            cond, body, (x_pred, jnp.zeros((), jnp.int32),
+                         jnp.linalg.norm(aug(x_pred))))
+        return x, rn <= tol
+
+    # Anchor the path at lambda_start (default 0: the rest state solves
+    # res = 0 exactly when qe0 matches kappa0; a mid-branch anchor lets the
+    # caller zoom into a fold region with small arc steps).
+    sol0 = solve_statics(lambda_start * load_ref, lambda_start * tip_moment_ref,
+                         cfg, qe0=qe0, tol=tol, max_iter=max_corrector,
+                         iters=iters, method=method)
+    x = jnp.concatenate([sol0.qe, jnp.full((1,), lambda_start, dtype)])
+    t = tangent(x[:nq], x[nq], jnp.zeros(nq + 1, dtype).at[nq].set(1.0))
+
+    lambdas, qes, conv = [], [], []
+    ds_k = ds
+    for _ in range(steps):
+        # Adaptive arc step: halve on corrector failure (the fold region
+        # needs shorter arcs), recover gently after success.
+        ok = False
+        for _attempt in range(8):
+            x_new, ok_dev = corrector(x + ds_k * t, t)
+            ok = bool(ok_dev)
+            if ok:
+                break
+            ds_k *= 0.5
+        if ok:
+            x = x_new
+            t = tangent(x[:nq], x[nq], t)
+            ds_k = min(ds, ds_k * 1.5)
+        lambdas.append(x[nq])
+        qes.append(x[:nq])
+        conv.append(jnp.asarray(ok))
+    return ContinuationPath(
+        lambdas=jnp.stack(lambdas),
+        qes=jnp.stack(qes),
+        converged=jnp.stack(conv),
+    )
 
 
 def load_continuation(tip_forces, tip_moments=None,

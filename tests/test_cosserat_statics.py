@@ -258,3 +258,73 @@ def test_dd_residual_matches_f64_definition():
         jnp.zeros(3, jnp.float64), cfg, iters=40)
     scale = float(jnp.max(jnp.abs(res64)))
     assert float(jnp.max(jnp.abs(res_dd - res64))) < 1e-7 * max(scale, 1.0)
+
+
+def test_snap_through_riks_traces_where_newton_jumps():
+    """VERDICT r1 #8: combined tip force + moment drives the rod through a
+    near-singular (bifurcation-bubble) region at lambda ~ 5.6 where
+    load-controlled warm-started Newton SNAPS to a distant branch
+    (discontinuous |dqe| ~ 0.9 even at dlambda = 0.05), while Riks
+    arc-length continuation walks a continuous equilibrium path through
+    the same window."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    F = jnp.asarray([1.0, 0.01, 0.0], jnp.float64)
+    M = jnp.asarray([0.0, -2.0, 0.0], jnp.float64)
+    step = jax.jit(lambda f, m, q0: cosserat.solve_statics(
+        f, tip_moment=m, cfg=cfg, qe0=q0, tol=1e-10, max_iter=50,
+        method="dense"))
+
+    # Warm onto the connected branch (coarser stepping here can land on a
+    # different solution sheet and miss the snap).
+    qe = jnp.zeros(9, jnp.float64)
+    for lam in np.arange(0.4, 5.41, 0.2):
+        sol = step(lam * F, lam * M, qe)
+        assert bool(sol.converged)
+        qe = sol.qe
+
+    # (a) load-controlled Newton: the branch is lost discontinuously when
+    # a load step lands inside the near-singular sliver (lam ~ 5.58-5.62,
+    # det(J) crosses zero twice) — the Newton step blows up along the soft
+    # out-of-plane direction and converges on a distant sheet.
+    jumps, qe_n = [], qe
+    for lam in np.arange(5.45, 5.80, 0.025):
+        sol = step(lam * F, lam * M, qe_n)
+        if bool(sol.converged):
+            jumps.append(float(jnp.linalg.norm(sol.qe - qe_n)))
+            qe_n = sol.qe
+        else:
+            jumps.append(np.inf)
+    assert max(jumps) > 0.5, jumps   # snap: jump or outright failure
+
+    # (b) Riks: walks CONTINUOUSLY through the limit point — lambda rises
+    # to the fold (~5.577), turns BACK (the decreasing stretch below is
+    # the signature load-controlled stepping can never produce), and
+    # continues on the post-fold branch.
+    path = cosserat.arc_length_continuation(
+        F, cfg=cfg, tip_moment_ref=tuple(np.asarray(M)), qe0=qe,
+        lambda_start=5.4, ds=0.1, steps=25, tol=1e-9, method="dense")
+    assert np.asarray(path.converged).all()
+    lams = np.asarray(path.lambdas)
+    assert (np.diff(lams) < -1e-4).any()      # limit point traversed
+    assert lams.max() > 5.55                  # reached the fold region
+    dq = np.linalg.norm(np.diff(np.asarray(path.qes), axis=0), axis=1)
+    assert dq.max() < 0.25, dq.max()  # no branch jump anywhere on the path
+
+
+def test_follower_load_differs_from_dead_load():
+    """follower=True rotates the tip force with the deformation; at finite
+    deflection the equilibrium must differ from the dead-load one, and at
+    zero deflection they coincide."""
+    cfg_dead = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    cfg_fol = cosserat.StaticsConfig(rod=rod.RodConfig(n=16), follower=True)
+    F = jnp.asarray([0.0, 0.0, 0.8])
+    sd = cosserat.solve_statics(F, cfg=cfg_dead, tol=1e-9)
+    sf = cosserat.solve_statics(F, cfg=cfg_fol, tol=1e-9)
+    assert bool(sd.converged) and bool(sf.converged)
+    assert float(jnp.linalg.norm(sd.qe - sf.qe)) > 1e-2
+    # tiny load: follower == dead to first order
+    Ft = jnp.asarray([0.0, 0.0, 1e-4])
+    sd0 = cosserat.solve_statics(Ft, cfg=cfg_dead, tol=1e-12)
+    sf0 = cosserat.solve_statics(Ft, cfg=cfg_fol, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(sd0.qe), np.asarray(sf0.qe),
+                               atol=1e-7)
