@@ -121,6 +121,17 @@ def main():
 
     dt_statics = _measure(jax.jit(statics_step), loads, reps=5)
 
+    # BASELINE config #3's own grid (N=64) through the wide fused layout.
+    statics64_cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=64))
+    loads64 = loads[:min(loads.shape[0], 4096)]
+
+    def statics64_step(fl):
+        return jnp.sum(cosserat.solve_statics_batched(
+            fl, cfg=statics64_cfg, tol=1e-5, max_iter=12, iters=16,
+            interpret=interpret).qe)
+
+    dt_statics64 = _measure(jax.jit(statics64_step), loads64, reps=3)
+
     # Native C++ CPU baseline (reference algorithm, OpenMP threads).
     cpu_baseline = None
     try:
@@ -151,6 +162,8 @@ def main():
             "pallas_fused_f32_solves_per_sec": round(batch / dt_fused, 1),
             "refined_ms_per_batch": round(dt_refined * 1e3, 3),
             "statics_bvp_solves_per_sec": round(loads.shape[0] / dt_statics, 1),
+            "statics_n64_bvp_solves_per_sec": round(
+                loads64.shape[0] / dt_statics64, 1),
             "rel_linf_error_vs_f64_reference": rel_err,
             "accuracy_gate_1e-8": rel_err <= 1e-8,
             "cpu_reference_baseline": cpu_baseline,

@@ -405,6 +405,8 @@ def _pick_tile(b: int, rc: rod.RodConfig):
     """
     from ..ops.pallas import rod_kernel as rk
 
+    if rk._is_wide(rc.n - 1):
+        return rk.DEFAULT_TILE      # wide layout ignores the tile knob
     _, rpc = rk._packing(rc.n - 1)
     return min(rk.DEFAULT_TILE,
                max(128 * rpc, 1 << (max(b, 1) - 1).bit_length()))

