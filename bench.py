@@ -64,10 +64,17 @@ def main():
     # Throughput is value-independent.
     qes = jnp.asarray(0.8 * rng.standard_normal((batch, 9)), jnp.float32)
 
+    # Adaptive iteration counts from the batch's actual strain bound
+    # (rho = 4.09 here -> 18 vs the static worst-case 20); the SAME counts
+    # feed the timed step and the inline accuracy gate below.
+    auto_iters = rod.auto_picard_iters(qes, cfg) or 20
+
     def refined_step(q):
         # Headline: Pallas-fused f32 solves + one double-word IR pass
         # (measured ~1e-11 rel Linf — gate is 1e-8; see inline check below).
         sol = rod.rod_shape_refined_fused(q, cfg=cfg, refine_steps=1,
+                                          iters=auto_iters,
+                                          corr_iters=auto_iters,
                                           tile=tile, interpret=interpret)
         return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
 
@@ -89,11 +96,26 @@ def main():
 
     dt_fused = _measure(jax.jit(fused_step), qes)
 
+    # Small-strain lane: the adaptive iteration count's headroom (rho ~ 1.3
+    # -> ~10 MXU passes instead of 18; ROADMAP r1 'adaptive Picard').
+    qes_small = 0.25 * qes
+    small_iters = rod.auto_picard_iters(qes_small, cfg) or 20
+
+    def refined_small_step(q):
+        sol = rod.rod_shape_refined_fused(q, cfg=cfg, refine_steps=1,
+                                          iters=small_iters,
+                                          corr_iters=small_iters,
+                                          tile=tile, interpret=interpret)
+        return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
+
+    dt_small = _measure(jax.jit(refined_small_step), qes_small)
+
     # Inline accuracy gate vs the f64 algorithm-exact oracle (demo strain),
-    # on the SAME code path as the headline timing.
+    # on the SAME code path AND iteration counts as the headline timing.
     qe_hi, qe_lo = rod.split_strain(oracle.demo_qe())
     qe_dd = (jnp.tile(qe_hi, (tile, 1)), jnp.tile(qe_lo, (tile, 1)))
     sol = rod.rod_shape_refined_fused(qe_dd, cfg=cfg, refine_steps=1,
+                                      iters=auto_iters, corr_iters=auto_iters,
                                       tile=tile, interpret=interpret)
     _, r_ref = oracle.integrate_position(oracle.demo_qe())
     rel_err = float(
@@ -161,6 +183,9 @@ def main():
             "picard_f32_solves_per_sec": round(batch / dt_picard, 1),
             "pallas_fused_f32_solves_per_sec": round(batch / dt_fused, 1),
             "refined_ms_per_batch": round(dt_refined * 1e3, 3),
+            "refined_auto_iters": auto_iters,
+            "refined_small_strain_solves_per_sec": round(batch / dt_small, 1),
+            "refined_small_strain_iters": small_iters,
             "statics_bvp_solves_per_sec": round(loads.shape[0] / dt_statics, 1),
             "statics_n64_bvp_solves_per_sec": round(
                 loads64.shape[0] / dt_statics64, 1),

@@ -51,6 +51,7 @@ __all__ = [
     "rod_shape_refined_fused",
     "split_strain",
     "strain_rho",
+    "auto_picard_iters",
     "RodSolution",
 ]
 
@@ -170,6 +171,29 @@ def strain_rho(qe, cfg: RodConfig) -> float:
     k = np.einsum("pe,...ae->...pa", cfg.basis_table, modes)[..., :3]
     return float(np.max(np.linalg.norm(k, axis=-1), initial=0.0)
                  * cfg.length / 2.0)
+
+
+def auto_picard_iters(qe, cfg: RodConfig, tol: float = 1e-5,
+                      floor: int = 6) -> int | None:
+    """Iteration count from the batch's actual strain magnitude.
+
+    Uses the Volterra truncation bound (``diagnostics.picard_error_bound``)
+    at the batch-max ``rho``: small-strain batches need far fewer MXU
+    passes than the worst-case default (rho=1 -> 10 vs 20, ~2x fewer
+    passes; ROADMAP r1 'adaptive iteration counts').  Returns ``None`` when
+    ``qe`` is traced (no concrete bound available — callers keep their
+    static default).  Rounded up to a multiple of 2 to limit recompiles.
+    """
+    import jax
+
+    qe_hi = qe[0] if isinstance(qe, tuple) else qe
+    if isinstance(qe_hi, jax.core.Tracer):
+        return None
+    from ..utils import diagnostics
+
+    rho = max(strain_rho(qe, cfg), 0.25)
+    k = diagnostics.picard_iterations_needed(rho, tol)
+    return max(floor, -(-k // 2) * 2)
 
 
 def _check_rho(qe, cfg: RodConfig, max_rho: float, where: str):
@@ -404,6 +428,12 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
 
     if check_validity:
         _check_rho(qe, cfg, max_rho, "rod_shape_refined_fused")
+    if iters == "auto":
+        # Base solve to ~1e-5 truncation (one refinement then reaches the
+        # dd floor, err ~ base_err^2); corrections inherit the count.
+        iters = auto_picard_iters(qe, cfg, tol=1e-5) or 20
+        if corr_iters is None:
+            corr_iters = iters
     if single_kernel is None:
         # Auto-select only when the single kernel can honor every request:
         # it performs exactly one refinement at 'high' matmul precision on

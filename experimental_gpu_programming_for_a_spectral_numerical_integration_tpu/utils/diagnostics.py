@@ -20,7 +20,43 @@ __all__ = [
     "convergence_report",
     "picard_error_bound",
     "picard_iterations_needed",
+    "f64_support_report",
 ]
+
+
+def f64_support_report() -> dict:
+    """Characterize float64 on the current default backend (ROADMAP r1).
+
+    TPUs have no native f64; depending on the stack, a float64 request is
+    either DEMOTED to f32 (silent accuracy loss) or software-emulated
+    (slow but correct).  The probe adds ``2^-40`` to 1 — resolvable only
+    with a >40-bit mantissa — and reports what survived.  This is why the
+    framework's accuracy story is double-word f32 + int8-plane exact
+    contractions, never device f64 (docs/DESIGN.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    with jax.enable_x64(True):
+        # jit with a device-fed operand so XLA cannot constant-fold the
+        # addition on the host (which would report host f64, not device).
+        eps = jnp.asarray(2.0 ** -40, jnp.float64)
+        x = jax.jit(lambda e: jnp.asarray(1.0, jnp.float64) + e)(eps)
+        dtype_preserved = str(x.dtype) == "float64"
+        resolved = bool(float(x) - 1.0 > 0.0)
+    if dtype_preserved and resolved:
+        verdict = "f64 available (native or emulated)"
+    elif resolved:
+        verdict = "f64 computed but dtype demoted"
+    else:
+        verdict = "f64 DEMOTED to f32 (silent): use the dd/refined paths"
+    return {
+        "backend": backend,
+        "dtype_preserved": dtype_preserved,
+        "eps40_resolved": resolved,
+        "verdict": verdict,
+    }
 
 
 def picard_error_bound(rho: float, iters: int) -> float:

@@ -12,8 +12,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.timeout(600)
 def test_bench_emits_valid_json_line():
+    # (bounded by the subprocess timeout below; the pytest-timeout plugin
+    # is not installed, so a mark would silently not apply)
     env = dict(os.environ)
     env.update({
         "BENCH_BATCH": "2048",

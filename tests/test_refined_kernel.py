@@ -153,3 +153,33 @@ def test_precision_request_respected():
     with pytest.raises(ValueError, match="high"):
         rod.rod_shape_refined_fused(qes, refine_steps=1, single_kernel=True,
                                     precision="highest")
+
+
+def test_auto_picard_iters_accuracy_intact():
+    """iters='auto' adapts the MXU pass count to the batch's strain bound
+    without giving up the accuracy gate (ROADMAP r1 adaptive iteration)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils import (
+        oracle as oracle_mod,
+    )
+
+    qe_dd = rod.split_strain(0.4 * oracle_mod.demo_qe())
+    qdd = (jnp.tile(qe_dd[0], (64, 1)), jnp.tile(qe_dd[1], (64, 1)))
+    k = rod.auto_picard_iters(qdd, rod.RodConfig())
+    assert 6 <= k < 20            # small strain -> fewer passes
+    sol = rod.rod_shape_refined_fused(qdd, refine_steps=1, iters="auto",
+                                      tile=64, interpret=True)
+    q_ref, r_ref = oracle_mod.integrate_position(
+        np.asarray(0.4 * oracle_mod.demo_qe(), np.float64))
+    rel = np.max(np.abs(sol.positions_f64()[0] - r_ref)) / np.max(np.abs(r_ref))
+    assert rel < 1e-8, rel
+    # traced input: no concrete bound -> None (callers keep defaults)
+    import jax
+
+    assert jax.eval_shape(
+        lambda q: jnp.zeros(()), qdd[0]
+    ) is not None  # smoke
+    def traced(q):
+        assert rod.auto_picard_iters(q, rod.RodConfig()) is None
+        return q
+
+    jax.jit(traced)(qdd[0])
