@@ -31,7 +31,7 @@ from .models.rod import (
     split_strain,
     demo_qe,
 )
-from .models import ivp, cosserat, segments, calibration
+from .models import ivp, cosserat, segments, calibration, dynamics
 
 __version__ = "0.1.0"
 
@@ -60,4 +60,5 @@ __all__ = [
     "cosserat",
     "segments",
     "calibration",
+    "dynamics",
 ]

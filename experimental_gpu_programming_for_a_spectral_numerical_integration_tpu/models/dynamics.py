@@ -1,0 +1,305 @@
+"""Rod dynamics: Lagrangian time integration in the strain-mode space.
+
+Beyond the reference's static scope (docs/ROADMAP.md), but a direct
+continuation of the theory it ships: the strain parameterization
+``kappa(X) = Phi(X) qe`` (rod_modeling.pdf eq. 2.5) makes ``qe`` a set of
+generalized coordinates, with
+
+* potential energy ``V = 1/2 (qe - kappa0)^T K_ee (qe - kappa0)`` where
+  ``K_ee = int_0^L Phi^T H_a Phi dX`` — **pdf eq. 2.14 implemented
+  literally** (:func:`stiffness_matrix`; block-diagonal, Gram matrix of the
+  modal basis under Clenshaw-Curtis quadrature),
+* kinetic energy ``T = 1/2 qd^T M(qe) qd`` with the configuration-dependent
+  mass ``M = int rhoA J^T J dX``, ``J = dr/dqe`` the position Jacobian of
+  the spectral solve (slender-rod translational inertia; rotary inertia
+  O((d/L)^2) smaller),
+* Euler-Lagrange equations assembled by AD: the Coriolis/centrifugal term
+  is ``(dM/dt) qd - 1/2 grad_qe(qd^T M qd)``, evaluated as one ``jvp`` of
+  the mass matrix along ``qd`` plus one gradient — no hand-derived
+  Christoffel symbols.
+
+Everything is jit/vmap-friendly: the position Jacobian uses the
+implicit-function JVP of the Picard solve (one extra solve per direction),
+mass-matrix solves use the TPU-native Gauss-Jordan (ops/smallsolve.py), and
+time stepping is RK4 inside ``lax.scan``.
+
+Validation gates (tests/test_dynamics.py): linearized natural frequencies
+against the Euler-Bernoulli cantilever series (beta_1 L = 1.8751...),
+energy conservation of the free oscillator, and damped relaxation onto the
+statics equilibrium.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import smallsolve
+from . import cosserat, rod
+
+__all__ = [
+    "DynamicsConfig",
+    "Trajectory",
+    "stiffness_matrix",
+    "mass_matrix",
+    "potential_energy",
+    "kinetic_energy",
+    "total_energy",
+    "accelerations",
+    "simulate",
+    "natural_frequencies",
+]
+
+
+@dataclass(frozen=True)
+class DynamicsConfig:
+    """Statics configuration + inertia/damping.
+
+    ``rho_a``: mass per unit length (translational inertia).
+    ``damping``: stiffness-proportional viscous damping coefficient
+    (generalized force ``-damping * K_ee qd``).
+    ``gravity``: constant acceleration vector applied along the rod.
+    """
+
+    statics: cosserat.StaticsConfig = field(
+        default_factory=lambda: cosserat.StaticsConfig(
+            rod=rod.RodConfig(n=16)))
+    rho_a: float = 1.0
+    # Rotary inertia per unit length (rhoA * r_gyration^2).  Physically
+    # O((r/L)^2) small for slender rods, but REQUIRED > 0: torsion modes
+    # carry no translational inertia, so rho_i = 0 makes M singular (an
+    # index-3 DAE, not an ODE).
+    rho_i: float = 1e-3
+    # Mass-proportional viscous damping: qdd += -damping * qd.  (Mass- not
+    # stiffness-proportional: the latter makes the high-frequency torsion
+    # modes' decay rates stiff, destroying explicit-RK4 stability.)
+    damping: float = 0.0
+    gravity: tuple | None = None
+
+    @property
+    def rod(self) -> rod.RodConfig:
+        return self.statics.rod
+
+    @functools.cached_property
+    def k_ee(self) -> np.ndarray:
+        return stiffness_matrix(self.statics)
+
+    @functools.cached_property
+    def kappa0_modes(self) -> np.ndarray:
+        nq = self.rod.na * self.rod.ne
+        if self.statics.kappa0 is None:
+            return np.zeros(nq)
+        return np.asarray(self.statics.kappa0, np.float64)
+
+
+def stiffness_matrix(scfg: cosserat.StaticsConfig) -> np.ndarray:
+    """Generalized stiffness ``K_ee = int Phi^T H Phi dX`` (pdf eq. 2.14).
+
+    Host f64 constant: for the block lift ``Phi = I_na (x) P(x)^T`` and
+    diagonal ``H`` this is ``K[(a,e),(b,f)] = delta_ab H_a int P_e P_f dX``
+    — ``na`` copies of the basis Gram matrix, integrated with the
+    Clenshaw-Curtis weights of the rod grid (exact for polynomial bases up
+    to the quadrature degree).
+    """
+    table = scfg.full_basis_table                  # (n, ne)
+    w = scfg.quad_weights                          # (n,)
+    gram = table.T @ (w[:, None] * table)          # (ne, ne)
+    h = np.asarray(scfg.stiffness, np.float64)
+    rc = scfg.rod
+    if h.shape[-1] != rc.na:
+        raise ValueError(f"stiffness has {h.shape[-1]} entries, na={rc.na}")
+    return np.kron(np.diag(h), gram)               # (na*ne, na*ne)
+
+
+def _state_full(qe, cfg: DynamicsConfig, iters: int):
+    """Full-grid positions AND quaternions (base appended) through the
+    differentiable Picard path — the kinematic map whose Jacobian carries
+    the inertia."""
+    rc = cfg.rod
+    sol = rod.rod_shape(qe, cfg=rc, method="picard", iters=iters)
+    base_r = jnp.zeros(qe.shape[:-1] + (1, 3), sol.positions.dtype)
+    base_q = jnp.broadcast_to(
+        jnp.asarray(rod.DEFAULT_Q_INIT, sol.quaternions.dtype),
+        qe.shape[:-1] + (1, 4))
+    r = jnp.concatenate([sol.positions, base_r], axis=-2)    # (..., n, 3)
+    q = jnp.concatenate([sol.quaternions, base_q], axis=-2)  # (..., n, 4)
+    return r, q
+
+
+def _positions_full(qe, cfg: DynamicsConfig, iters: int):
+    return _state_full(qe, cfg, iters)[0]
+
+
+def _omega_from_dq(q, dq):
+    """Body angular velocity from a quaternion rate: ``2 (q* x dq)_vec``.
+
+    Valid for the (near-)unit quaternions of the spectral solve; batched
+    over leading axes of ``(..., 4)`` inputs.
+    """
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    dw, dx, dy, dz = dq[..., 0], dq[..., 1], dq[..., 2], dq[..., 3]
+    return 2.0 * jnp.stack([
+        -x * dw + w * dx + z * dy - y * dz,
+        -y * dw - z * dx + w * dy + x * dz,
+        -z * dw + y * dx - x * dy + w * dz,
+    ], axis=-1)
+
+
+def mass_matrix(qe, cfg: DynamicsConfig, iters: int = 16):
+    """``M(qe) = int [rhoA J_r^T J_r + rhoI B^T B] dX`` — ``(..., nq, nq)``.
+
+    ``J_r = dr/dqe`` (translational) and ``B = domega/dqd`` (rotary, from
+    the quaternion tangents via :func:`_omega_from_dq`), both from ``nq``
+    implicit-function tangents of the spectral solve (vmapped jvp over unit
+    strain directions).
+    """
+    nq = qe.shape[-1]
+    eye = jnp.eye(nq, dtype=qe.dtype)
+    r, q = _state_full(qe, cfg, iters)
+
+    def jvp_dir(v):
+        (_, _), (dr, dqq) = jax.jvp(
+            lambda qq: _state_full(qq, cfg, iters), (qe,),
+            (jnp.broadcast_to(v, qe.shape),), )
+        return dr, _omega_from_dq(q, dqq)
+
+    dr_cols, om_cols = jax.vmap(jvp_dir)(eye)       # (nq, ..., n, 3) each
+    dr_cols = jnp.moveaxis(dr_cols, 0, -1)          # (..., n, 3, nq)
+    om_cols = jnp.moveaxis(om_cols, 0, -1)
+    w = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
+    return (cfg.rho_a * jnp.einsum("j,...jci,...jck->...ik", w, dr_cols,
+                                   dr_cols, precision="highest")
+            + cfg.rho_i * jnp.einsum("j,...jci,...jck->...ik", w, om_cols,
+                                     om_cols, precision="highest"))
+
+
+def potential_energy(qe, cfg: DynamicsConfig):
+    """Elastic energy ``1/2 dqe^T K_ee dqe`` (+ gravity potential)."""
+    dq = qe - jnp.asarray(cfg.kappa0_modes, qe.dtype)
+    k = jnp.asarray(cfg.k_ee, qe.dtype)
+    v = 0.5 * jnp.einsum("...i,ij,...j->...", dq, k, dq,
+                         precision="highest")
+    if cfg.gravity is not None:
+        r = _positions_full(qe, cfg, 16)
+        w = jnp.asarray(cfg.statics.quad_weights, qe.dtype) * cfg.rho_a
+        g = jnp.asarray(cfg.gravity, qe.dtype)
+        v = v - jnp.einsum("j,...jc,c->...", w, r, g, precision="highest")
+    return v
+
+
+def kinetic_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16):
+    m = mass_matrix(qe, cfg, iters)
+    return 0.5 * jnp.einsum("...i,...ij,...j->...", qd, m, qd,
+                            precision="highest")
+
+
+def total_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16):
+    return kinetic_energy(qe, qd, cfg, iters) + potential_energy(qe, cfg)
+
+
+def accelerations(qe, qd, cfg: DynamicsConfig, tip_force=None,
+                  iters: int = 16):
+    """``qdd`` from the Euler-Lagrange equations, batched over leading axes.
+
+    ``M qdd = Q_ext - K_ee dqe - damping K_ee qd - (dM/dt) qd
+              + 1/2 grad(qd^T M qd)``.
+    """
+    k = jnp.asarray(cfg.k_ee, qe.dtype)
+    dqe = qe - jnp.asarray(cfg.kappa0_modes, qe.dtype)
+    rhs = -jnp.einsum("ij,...j->...i", k, dqe, precision="highest")
+
+    # Coriolis/centrifugal via AD: dM/dt = jvp of M along qd.
+    m, mdot = jax.jvp(lambda q: mass_matrix(q, cfg, iters), (qe,), (qd,))
+    rhs = rhs - jnp.einsum("...ij,...j->...i", mdot, qd)
+
+    def t_of_q(q):
+        mm = mass_matrix(q, cfg, iters)
+        return 0.5 * jnp.sum(
+            qd * jnp.einsum("...ij,...j->...i", mm, qd), axis=-1)
+
+    rhs = rhs + jax.grad(lambda q: jnp.sum(t_of_q(q)))(qe)
+
+    if tip_force is not None:
+        # Q_tip = J_tip^T F: one VJP of the tip position map.
+        def tip(q):
+            return _positions_full(q, cfg, iters)[..., 0, :]
+
+        f = jnp.broadcast_to(jnp.asarray(tip_force, qe.dtype),
+                             qe.shape[:-1] + (3,))
+        rhs = rhs + jax.vjp(tip, qe)[1](f)[0]
+    if cfg.gravity is not None:
+        def grav_work(q):
+            r = _positions_full(q, cfg, iters)
+            w = jnp.asarray(cfg.statics.quad_weights, q.dtype) * cfg.rho_a
+            g = jnp.asarray(cfg.gravity, q.dtype)
+            return jnp.sum(jnp.einsum("j,...jc,c->...", w, r, g))
+
+        rhs = rhs + jax.grad(grav_work)(qe)
+
+    qdd = smallsolve.gauss_jordan_solve(m, rhs)
+    if cfg.damping:
+        qdd = qdd - cfg.damping * qd
+    return qdd
+
+
+class Trajectory(NamedTuple):
+    times: jnp.ndarray     # (steps,)
+    qes: jnp.ndarray       # (steps, ..., nq)
+    qds: jnp.ndarray       # (steps, ..., nq)
+    energies: jnp.ndarray  # (steps, ...)
+
+
+def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
+             tip_force=None, iters: int = 16,
+             record_energy: bool = True) -> Trajectory:
+    """RK4 time integration under ``lax.scan`` — jittable, batched."""
+    qe0 = jnp.asarray(qe0)
+    qd0 = jnp.asarray(qd0, qe0.dtype)
+
+    def deriv(state):
+        qe, qd = state
+        return qd, accelerations(qe, qd, cfg, tip_force, iters)
+
+    def rk4(state, _):
+        qe, qd = state
+        k1 = deriv((qe, qd))
+        k2 = deriv((qe + 0.5 * dt * k1[0], qd + 0.5 * dt * k1[1]))
+        k3 = deriv((qe + 0.5 * dt * k2[0], qd + 0.5 * dt * k2[1]))
+        k4 = deriv((qe + dt * k3[0], qd + dt * k3[1]))
+        qe = qe + dt / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        qd = qd + dt / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        e = (total_energy(qe, qd, cfg, iters) if record_energy
+             else jnp.zeros(qe.shape[:-1], qe.dtype))
+        return (qe, qd), (qe, qd, e)
+
+    _, (qes, qds, energies) = jax.lax.scan(rk4, (qe0, qd0), None,
+                                           length=steps)
+    times = dt * jnp.arange(1, steps + 1, dtype=qe0.dtype)
+    return Trajectory(times=times, qes=qes, qds=qds, energies=energies)
+
+
+def natural_frequencies(cfg: DynamicsConfig, qe0=None, iters: int = 24):
+    """Linearized small-oscillation frequencies about a configuration.
+
+    Solves the generalized eigenproblem ``K_ee v = omega^2 M(qe0) v`` on the
+    host (Cholesky whitening).  About the straight rest state this is the
+    strain-space Galerkin approximation of the Euler-Bernoulli cantilever
+    spectrum ``omega_k = (beta_k L)^2 sqrt(EI / (rhoA L^4))``,
+    ``beta_1 L = 1.875104``.
+    """
+    nq = cfg.rod.na * cfg.rod.ne
+    if qe0 is None:
+        qe0 = jnp.asarray(cfg.kappa0_modes, jnp.float64
+                          if jax.config.jax_enable_x64 else jnp.float32)
+    m = np.asarray(mass_matrix(jnp.asarray(qe0), cfg, iters), np.float64)
+    k = np.asarray(cfg.k_ee, np.float64)
+    c = np.linalg.cholesky(m)
+    cinv = np.linalg.inv(c)
+    a = cinv @ k @ cinv.T
+    evals = np.linalg.eigvalsh(0.5 * (a + a.T))
+    return np.sqrt(np.clip(evals, 0.0, None))

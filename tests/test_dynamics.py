@@ -1,0 +1,102 @@
+"""Rod dynamics: modal analysis, energy conservation, statics consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+    cosserat,
+    dynamics,
+    rod,
+)
+
+
+def test_natural_frequencies_match_euler_bernoulli():
+    """Linearized strain-space spectrum vs the cantilever series
+    omega_k = (beta_k L)^2 sqrt(EI/(rhoA L^4)), beta_1 L = 1.875104,
+    beta_2 L = 4.694091 — each doubled (two bending planes)."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16, ne=5))
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-4)
+    freqs = np.sort(dynamics.natural_frequencies(cfg))
+    np.testing.assert_allclose(freqs[0], 1.875104 ** 2, rtol=2e-3)
+    np.testing.assert_allclose(freqs[1], 1.875104 ** 2, rtol=2e-3)
+    np.testing.assert_allclose(freqs[2], 4.694091 ** 2, rtol=5e-3)
+    np.testing.assert_allclose(freqs[3], 4.694091 ** 2, rtol=5e-3)
+
+
+def test_stiffness_matrix_is_legendre_gram():
+    """pdf eq. 2.14 closed form: for Legendre modes on [0, L],
+    K_ee = diag(H) (x) diag(L / (2e + 1))."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16, ne=4),
+                                  stiffness=(2.0, 3.0, 5.0))
+    k = dynamics.stiffness_matrix(scfg)
+    expected = np.kron(np.diag([2.0, 3.0, 5.0]),
+                       np.diag([1.0 / (2 * e + 1) for e in range(4)]))
+    np.testing.assert_allclose(k, expected, atol=1e-12)
+
+
+def test_energy_conserved_at_rk4_order():
+    """Free oscillation of a released bent rod: the Lagrangian assembly
+    must conserve energy up to RK4 truncation (drift ~ dt^4 per unit
+    time — halving dt cuts the drift ~16x+)."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2)
+    qe0 = jnp.zeros(9, jnp.float64).at[3].set(0.5)
+    qd0 = jnp.zeros(9, jnp.float64)
+    drifts = []
+    for dt, steps in [(0.008, 50), (0.004, 100)]:
+        traj = dynamics.simulate(qe0, qd0, cfg, dt=dt, steps=steps, iters=12)
+        e = np.asarray(traj.energies)
+        drifts.append(abs(e[-1] - e[0]) / abs(e[0]))
+    assert drifts[0] < 1e-2
+    assert drifts[1] < drifts[0] / 10.0   # ~dt^4 convergence
+
+
+def test_damped_dynamics_relaxes_to_statics_equilibrium():
+    """Cross-model consistency: heavily damped dynamics under a tip force
+    must settle onto solve_statics' equilibrium strain."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2,
+                                  damping=6.0)
+    F = jnp.asarray([0.0, 0.0, 0.3])
+    traj = jax.jit(lambda a, b: dynamics.simulate(
+        a, b, cfg, dt=0.004, steps=900, iters=12, tip_force=F,
+        record_energy=False))(jnp.zeros(9), jnp.zeros(9))
+    ref = cosserat.solve_statics(F, cfg=scfg, tol=1e-10, max_iter=40)
+    assert float(jnp.max(jnp.abs(traj.qds[-1]))) < 1e-3
+    np.testing.assert_allclose(np.asarray(traj.qes[-1]), np.asarray(ref.qe),
+                               atol=1e-4)
+
+
+def test_simulate_batched():
+    """vmap-free native batching over initial conditions."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=8, ne=3))
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_i=1e-2)
+    rng = np.random.default_rng(0)
+    qe0 = jnp.asarray(rng.standard_normal((5, 9)) * 0.2)
+    qd0 = jnp.zeros((5, 9))
+    traj = dynamics.simulate(qe0, qd0, cfg, dt=0.01, steps=20, iters=10)
+    assert traj.qes.shape == (20, 5, 9)
+    single = dynamics.simulate(qe0[2], qd0[2], cfg, dt=0.01, steps=20,
+                               iters=10)
+    np.testing.assert_allclose(np.asarray(traj.qes[:, 2]),
+                               np.asarray(single.qes), atol=1e-10)
+
+
+def test_gravity_sag():
+    """A rod under gravity relaxes to the distributed-load equilibrium
+    (cross-checked against the statics distributed_force path)."""
+    g = (0.0, 0.0, -0.5)
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2,
+                                  damping=6.0, gravity=g)
+    traj = jax.jit(lambda a, b: dynamics.simulate(
+        a, b, cfg, dt=0.004, steps=900, iters=12,
+        record_energy=False))(jnp.zeros(9), jnp.zeros(9))
+    scfg_g = cosserat.StaticsConfig(
+        rod=rod.RodConfig(n=12, ne=3),
+        distributed_force=tuple(np.asarray(g) * cfg.rho_a))
+    ref = cosserat.solve_statics(jnp.zeros(3), cfg=scfg_g, tol=1e-10,
+                                 max_iter=40)
+    np.testing.assert_allclose(np.asarray(traj.qes[-1]), np.asarray(ref.qe),
+                               atol=2e-4)
