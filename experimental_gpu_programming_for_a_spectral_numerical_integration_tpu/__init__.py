@@ -31,7 +31,7 @@ from .models.rod import (
     split_strain,
     demo_qe,
 )
-from .models import ivp, cosserat, segments, calibration, dynamics
+from .models import ivp, cosserat, segments, calibration, dynamics, bifurcation
 
 __version__ = "0.1.0"
 
@@ -61,4 +61,5 @@ __all__ = [
     "segments",
     "calibration",
     "dynamics",
+    "bifurcation",
 ]

@@ -613,46 +613,16 @@ class ContinuationPath(NamedTuple):
     converged: jnp.ndarray
 
 
-def arc_length_continuation(load_ref, cfg: StaticsConfig = StaticsConfig(),
-                            tip_moment_ref=(0.0, 0.0, 0.0), qe0=None,
-                            ds: float = 0.2, steps: int = 40,
-                            tol: float = 1e-8, max_corrector: int = 25,
-                            psi: float = 1.0, iters: int = 24,
-                            method: str = "picard",
-                            lambda_start: float = 0.0):
-    """Riks/arc-length continuation of ``res(qe, lambda * load_ref) = 0``.
+def _riks_machinery(res, nq, dtype, tol, max_corrector, psi):
+    """Jitted (tangent, corrector) pair for pseudo-arclength walks.
 
-    Newton-on-the-augmented-system with the normal-plane (Riks) constraint
-    ``t . (x - x_pred) = 0``: the iteration parameterizes the path by arc
-    length instead of the load factor, so it walks THROUGH limit points
-    where every load-controlled Newton (``solve_statics``,
-    ``load_continuation``) necessarily jumps branches or diverges —
-    BASELINE config #5's continuation pattern completed for snap-through.
-    ``psi`` weights the load-factor component of the arc metric.
-
-    Works with dead or ``follower`` loads (``res`` is linear in ``lambda``
-    either way, so ``d res/d lambda`` is one extra residual evaluation).
-    Single-path (host loop over ``steps``; each corrector is one jitted
-    ``lax.while_loop``).  Returns :class:`ContinuationPath`.
+    ``res(qe, lam) -> (nq,)`` must be affine in ``lam`` (dead and follower
+    tip loads both are), so ``d res/d lam = res(qe, 1) - res(qe, 0)``
+    exactly.  Shared by :func:`arc_length_continuation` and
+    ``bifurcation.switch_branch``.
     """
-    rc = cfg.rod
-    nq = rc.na * rc.ne
-    load_ref = jnp.asarray(load_ref)
-    dtype = load_ref.dtype if load_ref.dtype in (jnp.float32, jnp.float64) \
-        else jnp.float32
-    load_ref = jnp.asarray(load_ref, dtype)
-    tip_moment_ref = jnp.asarray(tip_moment_ref, dtype)
-    if qe0 is None:
-        qe0 = jnp.zeros(nq, dtype) if cfg.kappa0 is None else jnp.asarray(
-            cfg.kappa0, dtype)
-    qe0 = jnp.asarray(qe0, dtype)
-
-    def res(qe, lam):
-        return equilibrium_residual(qe, lam * load_ref,
-                                    lam * tip_moment_ref, cfg, iters, method)
 
     def res_lam(qe, lam):
-        # res is affine in lambda (dead AND follower loads): exact slope.
         return res(qe, 1.0) - res(qe, 0.0)
 
     @jax.jit
@@ -689,20 +659,16 @@ def arc_length_continuation(load_ref, cfg: StaticsConfig = StaticsConfig(),
                          jnp.linalg.norm(aug(x_pred))))
         return x, rn <= tol
 
-    # Anchor the path at lambda_start (default 0: the rest state solves
-    # res = 0 exactly when qe0 matches kappa0; a mid-branch anchor lets the
-    # caller zoom into a fold region with small arc steps).
-    sol0 = solve_statics(lambda_start * load_ref, lambda_start * tip_moment_ref,
-                         cfg, qe0=qe0, tol=tol, max_iter=max_corrector,
-                         iters=iters, method=method)
-    x = jnp.concatenate([sol0.qe, jnp.full((1,), lambda_start, dtype)])
-    t = tangent(x[:nq], x[nq], jnp.zeros(nq + 1, dtype).at[nq].set(1.0))
+    return tangent, corrector
 
+
+def _riks_walk(tangent, corrector, x, t, ds, steps):
+    """Host predictor-corrector loop with adaptive arc steps (halve on
+    corrector failure, recover gently after success)."""
+    nq = x.shape[0] - 1
     lambdas, qes, conv = [], [], []
     ds_k = ds
     for _ in range(steps):
-        # Adaptive arc step: halve on corrector failure (the fold region
-        # needs shorter arcs), recover gently after success.
         ok = False
         for _attempt in range(8):
             x_new, ok_dev = corrector(x + ds_k * t, t)
@@ -722,6 +688,63 @@ def arc_length_continuation(load_ref, cfg: StaticsConfig = StaticsConfig(),
         qes=jnp.stack(qes),
         converged=jnp.stack(conv),
     )
+
+
+def arc_length_continuation(load_ref, cfg: StaticsConfig = StaticsConfig(),
+                            tip_moment_ref=(0.0, 0.0, 0.0), qe0=None,
+                            ds: float = 0.2, steps: int = 40,
+                            tol: float = 1e-8, max_corrector: int = 25,
+                            psi: float = 1.0, iters: int = 24,
+                            method: str = "picard",
+                            lambda_start: float = 0.0,
+                            direction: float = 1.0):
+    """Riks/arc-length continuation of ``res(qe, lambda * load_ref) = 0``.
+
+    Newton-on-the-augmented-system with the normal-plane (Riks) constraint
+    ``t . (x - x_pred) = 0``: the iteration parameterizes the path by arc
+    length instead of the load factor, so it walks THROUGH limit points
+    where every load-controlled Newton (``solve_statics``,
+    ``load_continuation``) necessarily jumps branches or diverges —
+    BASELINE config #5's continuation pattern completed for snap-through.
+    ``psi`` weights the load-factor component of the arc metric.
+    ``direction=-1`` starts the walk with DECREASING load factor (e.g. to
+    approach a fold from a high-load anchor on the far branch); after the
+    first step, orientation continuity takes over either way.
+
+    Works with dead or ``follower`` loads (``res`` is linear in ``lambda``
+    either way, so ``d res/d lambda`` is one extra residual evaluation).
+    Single-path (host loop over ``steps``; each corrector is one jitted
+    ``lax.while_loop``).  Returns :class:`ContinuationPath`.
+    """
+    rc = cfg.rod
+    nq = rc.na * rc.ne
+    load_ref = jnp.asarray(load_ref)
+    dtype = load_ref.dtype if load_ref.dtype in (jnp.float32, jnp.float64) \
+        else jnp.float32
+    load_ref = jnp.asarray(load_ref, dtype)
+    tip_moment_ref = jnp.asarray(tip_moment_ref, dtype)
+    if qe0 is None:
+        qe0 = jnp.zeros(nq, dtype) if cfg.kappa0 is None else jnp.asarray(
+            cfg.kappa0, dtype)
+    qe0 = jnp.asarray(qe0, dtype)
+
+    def res(qe, lam):
+        return equilibrium_residual(qe, lam * load_ref,
+                                    lam * tip_moment_ref, cfg, iters, method)
+
+    tangent, corrector = _riks_machinery(res, nq, dtype, tol, max_corrector,
+                                         psi)
+
+    # Anchor the path at lambda_start (default 0: the rest state solves
+    # res = 0 exactly when qe0 matches kappa0; a mid-branch anchor lets the
+    # caller zoom into a fold region with small arc steps).
+    sol0 = solve_statics(lambda_start * load_ref, lambda_start * tip_moment_ref,
+                         cfg, qe0=qe0, tol=tol, max_iter=max_corrector,
+                         iters=iters, method=method)
+    x = jnp.concatenate([sol0.qe, jnp.full((1,), lambda_start, dtype)])
+    t = tangent(x[:nq], x[nq],
+                jnp.zeros(nq + 1, dtype).at[nq].set(float(direction)))
+    return _riks_walk(tangent, corrector, x, t, ds, steps)
 
 
 def load_continuation(tip_forces, tip_moments=None,
