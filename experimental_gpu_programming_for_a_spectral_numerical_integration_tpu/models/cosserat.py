@@ -59,7 +59,9 @@ __all__ = [
     "solve_statics",
     "solve_statics_batched",
     "arc_length_continuation",
+    "arc_length_continuation_batched",
     "ContinuationPath",
+    "BatchedContinuationPath",
     "load_continuation",
 ]
 
@@ -447,11 +449,13 @@ def _fused_state_and_tangents(qe, cfg: StaticsConfig, iters, tile, interpret):
     q_full, r_full = _fused_full_state(qe, rc, iters, tile, interpret)
     q_unk = q_full[..., :npts, :]
 
-    # Direction strain fields are CONSTANT tables: dk_j[p, a] = P_e(x_p)
-    # on the (a, e) unit mode.  (nq, npts, na) one-hot-by-component.
+    # Direction strain fields are CONSTANT tables: dk_j[p, b] = P_e(x_p)
+    # on the (a, e) unit mode.  (nq, npts, na) one-hot-by-component — the
+    # einsum output axes must be (a, e, p, b) so the reshape folds (a, e)
+    # into the direction index and leaves (point, component) in place.
     table = jnp.asarray(rc.basis_table, jnp.float32)       # (npts, ne)
     eye_a = jnp.eye(na, dtype=jnp.float32)
-    dk_dirs = jnp.einsum("ab,pe->aebp", eye_a, table).reshape(nq, npts, na)
+    dk_dirs = jnp.einsum("ab,pe->aepb", eye_a, table).reshape(nq, npts, na)
 
     # Quaternion tangents (curvature directions only): A dq = 1/2 A(dK) q.
     dm = 0.5 * lie.quat_skew(dk_dirs[:nk, :, :3])          # (nk, npts, 4, 4)
@@ -487,26 +491,16 @@ def _fused_state_and_tangents(qe, cfg: StaticsConfig, iters, tile, interpret):
     return q_full, r_full, dq_dirs, dr_dirs
 
 
-def residual_and_jacobian_fused(qe, tip_force, tip_moment,
-                                cfg: StaticsConfig, iters: int = 16,
-                                tile: int = None, interpret: bool = False):
-    """Batched residual + exact per-sample Jacobian on the fused path.
-
-    ``qe (B, nq)`` -> ``(res (B, nq), jac (B, nq, nq))``.  The state
-    tangents come from :func:`_fused_state_and_tangents`; the residual map
-    itself is pure XLA so its directional derivatives are plain ``jvp``s.
-    """
-    b, nq = qe.shape
-    q_full, r_full, dq_dirs, dr_dirs = _fused_state_and_tangents(
-        qe, cfg, iters, tile, interpret)
-    npts = cfg.rod.n - 1
+def _jvp_jacobian(f, qe, q_full, r_full, dq_dirs, dr_dirs):
+    """(res, jac) of a pure-XLA residual map from precomputed state
+    tangents: ``jac[:, :, j] = jvp(f)`` along strain direction ``e_j`` with
+    the matching kinematic tangents (``dq_dirs``/``dr_dirs`` lack the base
+    point; it is appended as an exact zero — the base never moves)."""
+    nq = qe.shape[-1]
     pad_base = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, 1), (0, 0)))
     dq_full = pad_base(dq_dirs)
     dr_full = pad_base(dr_dirs)
     eye = jnp.eye(nq, dtype=qe.dtype)
-
-    def f(qe_, q_, r_):
-        return _residual_from_state(qe_, q_, r_, tip_force, tip_moment, cfg)
 
     res = f(qe, q_full, r_full)
 
@@ -516,6 +510,51 @@ def residual_and_jacobian_fused(qe, tip_force, tip_moment,
 
     dres = jax.vmap(dir_jvp)(eye, dq_full, dr_full)        # (nq, B, nq)
     return res, jnp.moveaxis(dres, 0, -1)                  # (B, nq_out, nq_dir)
+
+
+def residual_and_jacobian_fused(qe, tip_force, tip_moment,
+                                cfg: StaticsConfig, iters: int = 16,
+                                tile: int = None, interpret: bool = False):
+    """Batched residual + exact per-sample Jacobian on the fused path.
+
+    ``qe (B, nq)`` -> ``(res (B, nq), jac (B, nq, nq))``.  The state
+    tangents come from :func:`_fused_state_and_tangents`; the residual map
+    itself is pure XLA so its directional derivatives are plain ``jvp``s.
+    """
+    q_full, r_full, dq_dirs, dr_dirs = _fused_state_and_tangents(
+        qe, cfg, iters, tile, interpret)
+
+    def f(qe_, q_, r_):
+        return _residual_from_state(qe_, q_, r_, tip_force, tip_moment, cfg)
+
+    return _jvp_jacobian(f, qe, q_full, r_full, dq_dirs, dr_dirs)
+
+
+def _riks_res_jac_slope_fused(qe, lam, load_refs, moment_refs,
+                              cfg: StaticsConfig, iters, tile, interpret):
+    """``(res, jac, res_lam)`` at per-sample load factors, from ONE fused
+    state+tangent evaluation.
+
+    ``qe (B, nq)``, ``lam (B,)``, ``load_refs``/``moment_refs (B, 1, 3)``.
+    The state depends only on ``qe``, so the load slope is two extra
+    residual maps on the SAME kinematic state (exact: the residual is
+    affine in the load for dead and follower loads alike).
+    """
+    q_full, r_full, dq_dirs, dr_dirs = _fused_state_and_tangents(
+        qe, cfg, iters, tile, interpret)
+    tf = lam[:, None, None] * load_refs
+    tm = lam[:, None, None] * moment_refs
+
+    def f(qe_, q_, r_):
+        return _residual_from_state(qe_, q_, r_, tf, tm, cfg)
+
+    res, jac = _jvp_jacobian(f, qe, q_full, r_full, dq_dirs, dr_dirs)
+    res1 = _residual_from_state(qe, q_full, r_full, load_refs, moment_refs,
+                                cfg)
+    res0 = _residual_from_state(qe, q_full, r_full,
+                                jnp.zeros_like(load_refs),
+                                jnp.zeros_like(moment_refs), cfg)
+    return res, jac, res1 - res0
 
 
 def solve_statics_batched(tip_force, tip_moment=None,
@@ -745,6 +784,144 @@ def arc_length_continuation(load_ref, cfg: StaticsConfig = StaticsConfig(),
     t = tangent(x[:nq], x[nq],
                 jnp.zeros(nq + 1, dtype).at[nq].set(float(direction)))
     return _riks_walk(tangent, corrector, x, t, ds, steps)
+
+
+class BatchedContinuationPath(NamedTuple):
+    """Per-sample solution paths from :func:`arc_length_continuation_batched`.
+
+    ``lambdas (steps, B)``, ``qes (steps, B, nq)``, ``converged (steps, B)``.
+    A ``False`` in ``converged`` means that sample spent the step halving
+    its arc length instead of advancing (its row repeats the previous
+    state) — the batched analogue of the host loop's retry."""
+
+    lambdas: jnp.ndarray
+    qes: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def arc_length_continuation_batched(load_refs,
+                                    cfg: StaticsConfig = StaticsConfig(),
+                                    tip_moment_refs=None, qe0=None,
+                                    lambda_start=0.0, ds: float = 0.2,
+                                    steps: int = 40, tol: float = 2e-5,
+                                    max_corrector: int = 10,
+                                    psi: float = 1.0, iters: int = 16,
+                                    tile: int = None,
+                                    interpret: bool = False,
+                                    direction: float = 1.0,
+                                    ) -> BatchedContinuationPath:
+    """Device-batched Riks continuation over a FAMILY of load rays.
+
+    ``load_refs (B, 3)`` -> per-sample arc-length paths, entirely on
+    device: every corrector iterate is ONE fused-kernel state solve + one
+    direction-stacked correction over the whole batch
+    (:func:`_riks_res_jac_slope_fused`), the augmented ``(nq+1)``-systems
+    solve on the VPU (``ops/smallsolve``), and the outer walk is a
+    ``lax.scan`` — the batched analogue of :func:`arc_length_continuation`
+    (which loops on the host, one path at a time, in f64).  f32-grade:
+    use ``tol`` ~1e-4..2e-5; for 1e-9-class paths run the host version.
+
+    ``lambda_start`` may be a scalar or ``(B,)``; the anchor states are
+    converged with load-controlled batched Newton before the walk.  Each
+    scan step is one predictor+corrector attempt per sample: failures
+    halve that sample's arc length and repeat its state in the output row
+    (``converged[k, b] = False``), successes advance and relax the step
+    back toward ``ds``.
+    """
+    load_refs = jnp.asarray(load_refs, jnp.float32)
+    b = load_refs.shape[0]
+    rc = cfg.rod
+    nq = rc.na * rc.ne
+    if tip_moment_refs is None:
+        tip_moment_refs = jnp.zeros_like(load_refs)
+    tip_moment_refs = jnp.broadcast_to(
+        jnp.asarray(tip_moment_refs, jnp.float32), (b, 3))
+    lam0 = jnp.broadcast_to(jnp.asarray(lambda_start, jnp.float32), (b,))
+    if tile is None:
+        tile = _pick_tile(b, rc)
+
+    lref = load_refs[:, None, :]
+    mref = tip_moment_refs[:, None, :]
+
+    def res_jac_slope(qe, lam):
+        return _riks_res_jac_slope_fused(qe, lam, lref, mref, cfg, iters,
+                                         tile, interpret)
+
+    # Anchor: load-controlled batched Newton at lambda_start.
+    anchor = solve_statics_batched(
+        lam0[:, None] * load_refs, lam0[:, None] * tip_moment_refs, cfg=cfg,
+        qe0=qe0, tol=tol, max_iter=max_corrector, iters=iters, tile=tile,
+        interpret=interpret)
+    x = jnp.concatenate([anchor.qe, lam0[:, None]], axis=1)   # (B, nq+1)
+
+    def tangent(x, t_prev):
+        # Keller bordering: [J, res_lam; t_prev-row] t = e_last.  Unlike
+        # the plain solve J dqe = -res_lam (which the host f64 walker
+        # uses), the bordered system stays well-conditioned THROUGH folds
+        # — essential in f32, where the near-singular J solve turns the
+        # tangent to noise just where the path needs it most — and
+        # t_prev . t = 1 > 0 preserves orientation with no flip logic.
+        _, jac, res_lam = res_jac_slope(x[:, :nq], x[:, nq])
+        top = jnp.concatenate([jac, res_lam[:, :, None]], axis=2)
+        border = jnp.concatenate(
+            [t_prev[:, None, :nq],
+             (psi ** 2 * t_prev[:, nq])[:, None, None]], axis=2)
+        a = jnp.concatenate([top, border], axis=1)   # (B, nq+1, nq+1)
+        rhs = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(1.0)
+        t = smallsolve.gauss_jordan_solve(a, rhs)
+        norm = jnp.sqrt(jnp.sum(t[:, :nq] ** 2, axis=1)
+                        + psi ** 2 * t[:, nq] ** 2)
+        return t / norm[:, None]
+
+    def aug_and_jac(x, x_pred, t):
+        qe, lam = x[:, :nq], x[:, nq]
+        res, jac, res_lam = res_jac_slope(qe, lam)
+        c = (jnp.sum(t[:, :nq] * (qe - x_pred[:, :nq]), axis=1)
+             + psi ** 2 * t[:, nq] * (lam - x_pred[:, nq]))
+        aug = jnp.concatenate([res, c[:, None]], axis=1)      # (B, nq+1)
+        top = jnp.concatenate([jac, res_lam[:, :, None]], axis=2)
+        bottom = jnp.concatenate(
+            [t[:, None, :nq], (psi ** 2 * t[:, nq])[:, None, None]], axis=2)
+        return aug, jnp.concatenate([top, bottom], axis=1)    # (B, nq+1, nq+1)
+
+    def corrector(x_pred, t):
+        aug0, jac0 = aug_and_jac(x_pred, x_pred, t)
+
+        def cond(state):
+            _, k, aug, _ = state
+            return jnp.logical_and(
+                k < max_corrector,
+                jnp.any(jnp.linalg.norm(aug, axis=1) > tol))
+
+        def body(state):
+            x, k, aug, jac_aug = state
+            step = smallsolve.gauss_jordan_solve(jac_aug, aug)
+            active = (jnp.linalg.norm(aug, axis=1) > tol)[:, None]
+            x = x - jnp.where(active, step, 0.0)
+            aug, jac_aug = aug_and_jac(x, x_pred, t)
+            return x, k + 1, aug, jac_aug
+
+        x, _, aug, _ = jax.lax.while_loop(
+            cond, body, (x_pred, jnp.zeros((), jnp.int32), aug0, jac0))
+        return x, jnp.linalg.norm(aug, axis=1) <= tol
+
+    t0 = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(
+        jnp.float32(direction))
+    t = tangent(x, t0)
+
+    def walk(state, _):
+        x, t, ds_k = state
+        x_pred = x + ds_k[:, None] * t
+        x_new, ok = corrector(x_pred, t)
+        x = jnp.where(ok[:, None], x_new, x)
+        t_new = tangent(x, t)
+        t = jnp.where(ok[:, None], t_new, t)
+        ds_k = jnp.where(ok, jnp.minimum(ds, ds_k * 1.5), ds_k * 0.5)
+        return (x, t, ds_k), (x[:, nq], x[:, :nq], ok)
+
+    _, (lambdas, qes, conv) = jax.lax.scan(
+        walk, (x, t, jnp.full((b,), ds, jnp.float32)), None, length=steps)
+    return BatchedContinuationPath(lambdas=lambdas, qes=qes, converged=conv)
 
 
 def load_continuation(tip_forces, tip_moments=None,

@@ -328,3 +328,102 @@ def test_follower_load_differs_from_dead_load():
     sf0 = cosserat.solve_statics(Ft, cfg=cfg_fol, tol=1e-12)
     np.testing.assert_allclose(np.asarray(sd0.qe), np.asarray(sf0.qe),
                                atol=1e-7)
+
+
+def test_batched_riks_matches_host_paths():
+    """arc_length_continuation_batched == B independent host Riks walks
+    (smooth elastica branches, f32-path tolerance)."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    load_refs = np.asarray([[0.0, 0.0, 0.6],
+                            [0.3, 0.0, 0.4],
+                            [0.0, 0.2, -0.5]], np.float32)
+    batched = cosserat.arc_length_continuation_batched(
+        load_refs, cfg=cfg, ds=0.25, steps=8, tol=2e-5, iters=16,
+        interpret=True)
+    assert np.asarray(batched.converged).all()
+    for s in range(load_refs.shape[0]):
+        host = cosserat.arc_length_continuation(
+            jnp.asarray(load_refs[s], jnp.float64), cfg=cfg, ds=0.25,
+            steps=8, tol=1e-9, method="picard")
+        assert np.asarray(host.converged).all()
+        # f32 arc positions drift ~1e-3 over 8 steps (corrector tol 2e-5
+        # compounds through the tangent); the PATH is the same.
+        np.testing.assert_allclose(np.asarray(batched.lambdas)[:, s],
+                                   np.asarray(host.lambdas), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(batched.qes)[:, s],
+                                   np.asarray(host.qes), atol=2e-2)
+
+
+def test_batched_riks_traverses_fold_family():
+    """A BATCH of imperfect-pitchfork load rays (two imperfection sizes)
+    walked DOWN from a high anchor on the complementary branch: every
+    sample must round its fold nose (lambda reverses) in one device-wide
+    scan, and the noses must order by Koiter's eps^(2/3) law."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        bifurcation,
+    )
+
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16),
+                                 stiffness=(1.0, 1.0, 1.3))
+    ne = cfg.rod.ne
+    axial = (-1.0, 0.0, 0.0)
+    path = cosserat.arc_length_continuation(axial, cfg=cfg, ds=0.35, steps=9,
+                                            tol=1e-10)
+    cp = bifurcation.detect_critical_points(path, axial, cfg=cfg)[0]
+    d = 1.0 if cp.null_vector[ne] > 0 else -1.0
+    branch = bifurcation.switch_branch(cp, axial, cfg=cfg, direction=d,
+                                       ds=0.4, steps=8, tol=1e-9)
+    lam_hi = float(np.asarray(branch.lambdas)[-1])
+    qe_hi = np.asarray(branch.qes)[-1]
+
+    eps = np.asarray([0.01, 0.025], np.float32)
+    load_refs = np.stack([[-1.0, 0.0, e] for e in eps]).astype(np.float32)
+    qe0 = jnp.asarray(np.stack([qe_hi, qe_hi]), jnp.float32)
+    # tol: the f32 residual floor at these amplitudes (|qe| ~ 2.6,
+    # lam ~ 4) is ~1e-5..1e-4; tighter tols make the corrector report
+    # failure at the floor and over-halve the arc near the nose.
+    walk = cosserat.arc_length_continuation_batched(
+        load_refs, cfg=cfg, qe0=qe0, lambda_start=lam_hi, ds=0.3, steps=30,
+        tol=1e-4, max_corrector=25, iters=16, interpret=True,
+        direction=-1.0)
+    conv = np.asarray(walk.converged)               # (steps, B)
+    lams = np.asarray(walk.lambdas)
+    # False rows are arc-halving retries (the sample repeats its state);
+    # each sample must still make real progress THROUGH its fold.
+    for s in range(2):
+        assert conv[:, s].sum() >= 8
+        ls = lams[conv[:, s], s]
+        assert (np.diff(ls) < 0).any()              # walked down
+        assert (np.diff(ls) > 0).any()              # ... and turned back
+    noses = lams.min(axis=0)
+    assert noses[1] > noses[0] + 0.02               # bigger eps, higher nose
+    assert (noses > cp.lam).all()                   # above the perfect P_cr
+
+
+def test_fused_jacobian_exact_at_large_amplitude():
+    """Regression: the direction-table einsum in _fused_state_and_tangents
+    must keep the (point, component) axes in place — the scrambled variant
+    ("aebp" + reshape) cost a 31% Jacobian error at |qe| ~ 2, invisible to
+    converged-value tests (Newton still found the roots, just at a linear
+    rate) but fatal to Riks correctors near folds."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16),
+                                 stiffness=(1.0, 1.0, 1.3))
+    qe = np.zeros(9)
+    qe[3], qe[4], qe[5], qe[2] = 2.2, -0.6, 0.15, 0.05
+    lam = 4.0
+    load = np.asarray([-1.0, 0.0, 0.01])
+
+    _, jac = cosserat.residual_and_jacobian_fused(
+        jnp.asarray(qe[None], jnp.float32),
+        jnp.asarray(lam * load[None, None], jnp.float32),
+        jnp.zeros((1, 1, 3), jnp.float32), cfg, iters=16, tile=2048,
+        interpret=True)
+    jac = np.asarray(jac[0], np.float64)
+
+    def res_f64(q):
+        return cosserat.equilibrium_residual(
+            q, lam * jnp.asarray(load, jnp.float64),
+            jnp.zeros(3, jnp.float64), cfg, iters=48)
+
+    j64 = np.asarray(jax.jacfwd(res_f64)(jnp.asarray(qe)), np.float64)
+    assert np.abs(jac - j64).max() < 1e-4 * np.abs(j64).max()
