@@ -31,7 +31,8 @@ from .models.rod import (
     split_strain,
     demo_qe,
 )
-from .models import ivp, cosserat, segments, calibration, dynamics, bifurcation
+from .models import (ivp, cosserat, segments, calibration, dynamics,
+                     bifurcation, segment_statics)
 
 __version__ = "0.1.0"
 
@@ -62,4 +63,5 @@ __all__ = [
     "calibration",
     "dynamics",
     "bifurcation",
+    "segment_statics",
 ]

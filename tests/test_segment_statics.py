@@ -1,0 +1,129 @@
+"""Multi-segment statics BVP: exactness and consistency gates."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+    cosserat,
+    rod,
+    segment_statics,
+    segments,
+)
+
+
+def _cfg(num=2, n=16, stiffness=(1.0, 1.0, 1.0), **kw):
+    return segment_statics.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(num, n=n), stiffness=stiffness, **kw)
+
+
+def test_zero_load_zero_strain():
+    sol = segment_statics.solve_segmented_statics(jnp.zeros(3), cfg=_cfg())
+    assert bool(sol.converged)
+    np.testing.assert_allclose(np.asarray(sol.qe), 0.0, atol=1e-9)
+
+
+def test_pure_tip_moment_piecewise_constant_curvature():
+    """Tip couple with per-segment stiffness: kappa_s = M / EI_s EXACTLY in
+    each segment (only the P0 mode of kappa_y is populated)."""
+    m = 0.7
+    ei = (1.0, 2.5, 0.5)
+    cfg = segment_statics.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(3, n=16),
+        stiffness=tuple((1.0, e, e) for e in ei))
+    sol = segment_statics.solve_segmented_statics(
+        jnp.zeros(3), tip_moment=jnp.asarray([0.0, m, 0.0]), cfg=cfg,
+        tol=1e-11)
+    assert bool(sol.converged)
+    qe = np.asarray(sol.qe)                      # (3, 9)
+    ne = 3
+    for s, e in enumerate(ei):
+        expect = np.zeros(9)
+        expect[ne] = m / e                       # kappa_y, P0 mode
+        np.testing.assert_allclose(qe[s], expect, atol=1e-8)
+
+
+def test_uniform_chain_matches_single_rod():
+    """Two equal segments == one rod of the total length (tip force, finite
+    deflection): tip positions agree through the independent
+    discretizations."""
+    f = jnp.asarray([0.0, 0.0, 0.9])
+    single = cosserat.solve_statics(
+        f, cfg=cosserat.StaticsConfig(rod=rod.RodConfig(n=32)), tol=1e-10)
+    assert bool(single.converged)
+    chained = segment_statics.solve_segmented_statics(
+        f, cfg=_cfg(num=2, n=16), tol=1e-10)
+    assert bool(chained.converged)
+
+    # compare GLOBAL tip positions through the forward kinematics
+    sol1 = rod.rod_shape(single.qe, cfg=rod.RodConfig(n=32), method="picard",
+                         iters=32)
+    sol2 = segments.segmented_rod_shape(
+        chained.qe, segments.uniform_segments(2, n=16), method="picard",
+        iters=32)
+    np.testing.assert_allclose(np.asarray(sol2.tip_position),
+                               np.asarray(sol1.tip_position), atol=1e-6)
+
+
+def test_stepped_stiffness_matches_unit_load_method():
+    """Linear regime, stepped cantilever: tip deflection equals the
+    unit-load integral  delta = int_0^L F (L-x)^2 / EI(x) dx  (piecewise
+    closed form)."""
+    ei = (2.0, 1.0)
+    f_mag = 1e-4
+    cfg = segment_statics.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(2, n=16),
+        stiffness=tuple((1.0, e, e) for e in ei))
+    sol = segment_statics.solve_segmented_statics(
+        jnp.asarray([0.0, 0.0, f_mag], jnp.float64), cfg=cfg, tol=1e-14)
+    assert bool(sol.converged)
+    kin = segments.segmented_rod_shape(
+        sol.qe, cfg.rods, method="picard", iters=32)
+    tip_z = float(np.asarray(kin.tip_position)[2])
+
+    # int F (L-x)^2/EI dx over [0, 1/2] with EI1, [1/2, 1] with EI2
+    def seg_int(a, b, e):
+        return ((1 - a) ** 3 - (1 - b) ** 3) / (3 * e)
+
+    delta = f_mag * (seg_int(0.0, 0.5, ei[0]) + seg_int(0.5, 1.0, ei[1]))
+    np.testing.assert_allclose(tip_z, delta, rtol=1e-5)
+
+
+def test_residual_vanishes_at_solution_and_couples_segments():
+    """The converged residual is ~0; perturbing the BASE segment's strain
+    perturbs the residual of the TIP segment (chain coupling through the
+    transported moment arm)."""
+    f = jnp.asarray([0.2, 0.0, 0.5])
+    cfg = _cfg(num=2, n=16)
+    sol = segment_statics.solve_segmented_statics(f, cfg=cfg, tol=1e-11)
+    assert bool(sol.converged)
+    res = segment_statics.segmented_equilibrium_residual(
+        sol.qe, f, jnp.zeros(3), cfg)
+    assert float(jnp.max(jnp.abs(res))) < 1e-10
+
+    bumped = sol.qe.at[0, 3].add(0.05)
+    res_b = segment_statics.segmented_equilibrium_residual(
+        bumped, f, jnp.zeros(3), cfg)
+    assert float(jnp.max(jnp.abs(res_b[..., 1, :]))) > 1e-4
+
+
+def test_vmap_over_load_batch():
+    cfg = _cfg(num=2, n=16)
+    loads = jnp.asarray(np.random.default_rng(3).uniform(-0.4, 0.4, (5, 3)))
+    sols = jax.vmap(lambda f: segment_statics.solve_segmented_statics(
+        f, cfg=cfg, tol=1e-9))(loads)
+    assert np.asarray(sols.converged).all()
+    ref = segment_statics.solve_segmented_statics(loads[2], cfg=cfg,
+                                                  tol=1e-9)
+    np.testing.assert_allclose(np.asarray(sols.qe)[2], np.asarray(ref.qe),
+                               atol=1e-8)
+
+
+def test_follower_tip_force_differs():
+    cfg_d = _cfg(num=2, n=16)
+    cfg_f = _cfg(num=2, n=16, follower=True)
+    f = jnp.asarray([0.0, 0.0, 0.8])
+    sd = segment_statics.solve_segmented_statics(f, cfg=cfg_d, tol=1e-9)
+    sf = segment_statics.solve_segmented_statics(f, cfg=cfg_f, tol=1e-9)
+    assert bool(sd.converged) and bool(sf.converged)
+    assert float(jnp.linalg.norm(sd.qe - sf.qe)) > 1e-2
