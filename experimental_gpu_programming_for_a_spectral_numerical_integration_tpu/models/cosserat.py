@@ -115,6 +115,22 @@ class StaticsConfig:
 
         return dd.split_f64(self.quad_weights[:, None] * self.full_basis_table)
 
+    @functools.cached_property
+    def partial_integral_dd(self):
+        """dd split of the spectral tail-integral operator ``T`` (the
+        distributed-load transport, ``(T r)_i = int_{x_i}^L r ds``)."""
+        from ..ops import doubledouble as dd
+
+        return dd.split_f64(
+            chebyshev.partial_integral_matrix(self.rod.n, self.rod.length))
+
+    @functools.cached_property
+    def tail_length_dd(self):
+        """dd split of ``L - x_i`` on the full grid."""
+        from ..ops import doubledouble as dd
+
+        return dd.split_f64(self.rod.length - self.rod.points)
+
 
 class StaticsSolution(NamedTuple):
     qe: jnp.ndarray            # (..., na*ne) converged strain modes
@@ -347,12 +363,30 @@ def equilibrium_residual_dd(qe, tip_force, tip_moment, cfg: StaticsConfig,
                                               shape))
                for i in range(3)]
 
+    w_dist = None
     if cfg.distributed_force is not None:
-        raise NotImplementedError(
-            "equilibrium_residual_dd: distributed_force is f32-path only; "
-            "use equilibrium_residual (the dd gain would be limited by the "
-            "f32 load model anyway)"
-        )
+        # Distributed-load moment in dd: m_dist_i = [(T r)_i - (L-x_i) r_i]
+        # x w, with the tail-integral operator T and tail lengths as exact
+        # dd constants and the r transport contracted with compensated
+        # accumulation (ROADMAP r3: the dd partial-integral transport).
+        w_dist = jnp.asarray(cfg.distributed_force, jnp.float32)
+        t_hi, t_lo = cfg.partial_integral_dd           # (n, n)
+        t_hi, t_lo = jnp.asarray(t_hi), jnp.asarray(t_lo)
+        tl_hi, tl_lo = cfg.tail_length_dd              # (n,)
+        tl_hi, tl_lo = jnp.asarray(tl_hi), jnp.asarray(tl_lo)
+        n_pts = rc.n
+        dist_arm = []
+        for c in range(3):
+            tr = dd.dd_contract_axis(
+                t_hi, t_lo,
+                r_hi[..., c][..., None, :], r_lo[..., c][..., None, :],
+                n_pts)                                  # (..., n)
+            lr = dd.dd_mul(tl_hi, tl_lo, r_hi[..., c], r_lo[..., c])
+            dist_arm.append(dd.dd_add(*tr, *dd.dd_neg(*lr)))
+        wv = [(jnp.broadcast_to(w_dist[c], shape), jnp.zeros(shape, jnp.float32))
+              for c in range(3)]
+        m_dist = cross_dd(dist_arm, wv)
+        m_world = [dd.dd_add(*m_world[i], *m_dist[i]) for i in range(3)]
 
     # Body-frame transports tau = R^T m (and n = R^T F for na=6).
     r_cols = rod._rot_cols_dd(q_hi, q_lo)
@@ -368,7 +402,15 @@ def equilibrium_residual_dd(qe, tip_force, tip_moment, cfg: StaticsConfig,
 
     tau = rt_apply(m_world)
     if rc.na == 6:
-        tau = tau + rt_apply(f)
+        f_tot = f
+        if w_dist is not None:
+            # internal force gains the distributed tail: F + (L - x_i) w.
+            f_tot = [
+                dd.dd_add(*f[c],
+                          *dd.dd_mul_f32(tl_hi, tl_lo, w_dist[c]))
+                for c in range(3)
+            ]
+        tau = tau + rt_apply(f_tot)
 
     # mr = H xi - tau, dd; H is an exact-split f64 constant.
     h_hi, h_lo = dd.split_f64(np.asarray(cfg.stiffness, np.float64))
