@@ -110,6 +110,20 @@ def main():
 
     dt_small = _measure(jax.jit(refined_small_step), qes_small)
 
+    # N=64 accuracy path through the WIDE single refined kernel (ROADMAP
+    # r3: right-multiplied Ozaki planes; 5.5x the staged path on v5e).
+    cfg64 = rod.RodConfig(n=64)
+    qes64 = qes[:min(batch, 32768)]
+    auto64 = rod.auto_picard_iters(qes64, cfg64) or 24
+
+    def refined64_step(q):
+        sol = rod.rod_shape_refined_fused(q, cfg=cfg64, refine_steps=1,
+                                          iters=auto64, corr_iters=auto64,
+                                          interpret=interpret)
+        return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
+
+    dt_refined64 = _measure(jax.jit(refined64_step), qes64, reps=5)
+
     # Inline accuracy gate vs the f64 algorithm-exact oracle (demo strain),
     # on the SAME code path AND iteration counts as the headline timing.
     qe_hi, qe_lo = rod.split_strain(oracle.demo_qe())
@@ -186,6 +200,8 @@ def main():
             "refined_auto_iters": auto_iters,
             "refined_small_strain_solves_per_sec": round(batch / dt_small, 1),
             "refined_small_strain_iters": small_iters,
+            "refined_n64_solves_per_sec": round(
+                qes64.shape[0] / dt_refined64, 1),
             "statics_bvp_solves_per_sec": round(loads.shape[0] / dt_statics, 1),
             "statics_n64_bvp_solves_per_sec": round(
                 loads64.shape[0] / dt_statics64, 1),

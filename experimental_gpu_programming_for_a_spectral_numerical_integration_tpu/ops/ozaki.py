@@ -37,6 +37,7 @@ __all__ = [
     "plane_decompose_const",
     "plane_decompose",
     "matmul_dd",
+    "matmul_dd_right",
 ]
 
 _BITS = 7
@@ -78,39 +79,17 @@ def plane_decompose(x, exponent: int, num_planes: int):
     return planes
 
 
-def matmul_dd(const_planes, const_exp: int, x_hi, x_lo, x_exp: int,
-              pair_budget: int = 8, lo_pair_budget: int = 3):
-    """``A @ x`` to double-word accuracy via exact int8 MXU dots.
+def _accumulate_pairs(dot, ka, x_hi, x_lo, x_exp, const_exp, pair_budget,
+                      lo_pair_budget):
+    """Shared pair-accumulation core of the left/right dd matmuls.
 
-    ``const_planes``: ``(KA, n, n)`` int8 from :func:`plane_decompose_const`;
-    ``x = x_hi + x_lo``: dd pair ``(n, cols)`` with ``|x| < 0.99 2^x_exp``.
-    The hi and lo words are decomposed SEPARATELY (their exponents are 24
-    apart, which does not align with the 7-bit plane grid): 4 planes each,
-    28 bits per word — enough to cover a 24-bit mantissa exactly.
-
-    Pairs kept: hi-word ``k + m <= pair_budget`` (~26 dots at the default),
-    lo-word ``k + m <= lo_pair_budget`` (~6 dots; the lo word starts 24 bits
-    down so deep planes are below the target).  Dropped-tail error is
-    ``O(2^{eA + eX - 7(pair_budget+2)})`` absolute.  int32 partials convert
-    to f32 exactly (``n <= 128``: level sums < 2^24).  Returns a dd pair.
+    ``dot(k, xm) -> int32`` contracts constant plane ``k`` with operand
+    plane ``xm``; everything else (plane decomposition, significance-sorted
+    double-word recombination) is side-agnostic.
     """
     from . import doubledouble as dd
 
-    ka = const_planes.shape[0]
-    const_planes = jnp.asarray(const_planes)
-
-    def dot(k, xm):
-        return jax.lax.dot_general(
-            const_planes[k], xm,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-
-    # terms: list of (scale_exponent_float, int32 accumulation by level)
     terms = {}
-
-    # 8 hi planes (56 bits below 2^x_exp) so even small-magnitude f32 values
-    # keep their full mantissa within the fixed-point window.
     hi_planes = plane_decompose(x_hi, x_exp, 8)
     base = const_exp + x_exp
     for k in range(ka):
@@ -138,3 +117,60 @@ def matmul_dd(const_planes, const_exp: int, x_hi, x_lo, x_exp: int,
         term = terms[key].astype(jnp.float32) * jnp.float32(2.0 ** key)
         out_hi, out_lo = dd.dd_add_f32(out_hi, out_lo, term)
     return out_hi, out_lo
+
+
+def matmul_dd_right(x_hi, x_lo, x_exp: int, const_planes, const_exp: int,
+                    pair_budget: int = 8, lo_pair_budget: int = 3):
+    """``x @ C`` to double-word accuracy via exact int8 MXU dots.
+
+    Right-multiplication sibling of :func:`matmul_dd` for layouts where the
+    operand's CONTRACTION axis is the lane axis (the Pallas wide layout:
+    points on lanes, so spectral operators apply from the right).
+    ``const_planes (KC, n, m)`` decompose the constant ``C (n, m)``;
+    ``x = x_hi + x_lo`` is ``(rows, n)`` with ``|x| < 0.99 * 2^x_exp``.
+    Accuracy/budget semantics identical to :func:`matmul_dd`.
+    """
+    ka = const_planes.shape[0]
+    const_planes = jnp.asarray(const_planes)
+
+    def dot(k, xm):
+        return jax.lax.dot_general(
+            xm, const_planes[k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    return _accumulate_pairs(dot, ka, x_hi, x_lo, x_exp, const_exp,
+                             pair_budget, lo_pair_budget)
+
+
+def matmul_dd(const_planes, const_exp: int, x_hi, x_lo, x_exp: int,
+              pair_budget: int = 8, lo_pair_budget: int = 3):
+    """``A @ x`` to double-word accuracy via exact int8 MXU dots.
+
+    ``const_planes``: ``(KA, n, n)`` int8 from :func:`plane_decompose_const`;
+    ``x = x_hi + x_lo``: dd pair ``(n, cols)`` with ``|x| < 0.99 2^x_exp``.
+    The hi and lo words are decomposed SEPARATELY (their exponents are 24
+    apart, which does not align with the 7-bit plane grid): 4 planes each,
+    28 bits per word — enough to cover a 24-bit mantissa exactly.
+
+    Pairs kept: hi-word ``k + m <= pair_budget`` (~26 dots at the default),
+    lo-word ``k + m <= lo_pair_budget`` (~6 dots; the lo word starts 24 bits
+    down so deep planes are below the target).  Dropped-tail error is
+    ``O(2^{eA + eX - 7(pair_budget+2)})`` absolute.  int32 partials convert
+    to f32 exactly (``n <= 128``: level sums < 2^24).  Returns a dd pair.
+    """
+    ka = const_planes.shape[0]
+    const_planes = jnp.asarray(const_planes)
+
+    def dot(k, xm):
+        return jax.lax.dot_general(
+            const_planes[k], xm,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    # 8 hi planes (56 bits below 2^x_exp) so even small-magnitude f32 values
+    # keep their full mantissa within the fixed-point window.
+    return _accumulate_pairs(dot, ka, x_hi, x_lo, x_exp, const_exp,
+                             pair_budget, lo_pair_budget)

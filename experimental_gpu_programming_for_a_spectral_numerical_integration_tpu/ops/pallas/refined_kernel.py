@@ -249,6 +249,237 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
         r_lo_ref[rows, :] = jnp.where(bad, nan, pos_lo[rows, :])
 
 
+def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref,
+                         g_rhs_ref, rhs_hi_ref, rhs_lo_ref,
+                         wdt_planes_ref, wgt_planes_ref,
+                         q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref, *,
+                         iters, corr_iters, ne, wdt_exp, wgt_exp,
+                         rho2_limit):
+    """WIDE-layout (32 < n-1 < 128) fully-fused refined solve.
+
+    Same five stages as :func:`_kernel`, transposed: points ride the 128
+    LANES, 32 rods x 4 components fill the sublanes, every spectral
+    operator applies FROM THE RIGHT (``s @ Op^T``) — so the exact Ozaki
+    contractions use :func:`ozaki.matmul_dd_right` on transposed planes.
+    Unlocks the single-kernel accuracy path for the N=64 statics grid and
+    N=128-class high-order solves (ROADMAP r3).
+    """
+    from .. import doubledouble as dd
+
+    mm = rk._make_mm("high")
+
+    # dd strains K/2 (the 1/2 folded into the transposed table): exact EFT
+    # outer-product accumulation over the ne modes.  qe_ref columns:
+    # [qe_hi (na*ne) ; qe_lo (na*ne)].
+    p_hi = ptab_hi_ref[:, :]                      # (ne, p_pad)
+    p_lo = ptab_lo_ref[:, :]
+    nq = 3 * ne
+    k_hi, k_lo = [], []
+    for a in range(3):
+        acc_h = acc_l = None
+        for e in range(ne):
+            col_hi = qe_ref[:, a * ne + e:a * ne + e + 1]        # (R, 1)
+            col_lo = qe_ref[:, nq + a * ne + e:nq + a * ne + e + 1]
+            row_hi = p_hi[e:e + 1, :]                            # (1, p_pad)
+            row_lo = p_lo[e:e + 1, :]
+            ph, pe = dd.two_prod(col_hi, row_hi)
+            pe = pe + col_lo * row_hi + col_hi * row_lo
+            if acc_h is None:
+                acc_h, acc_l = ph, pe
+            else:
+                acc_h, acc_l = dd.dd_add(acc_h, acc_l, ph, pe)
+        k_hi.append(acc_h)
+        k_lo.append(acc_l)
+    a_apply = rk._wide_a_apply(k_hi)
+
+    wt = wt_ref[:, :]                             # (p_pad, p_pad) FULL G~^T
+    g_rhs = g_rhs_ref[:, :]                       # (4R, p_pad)
+
+    # --- stage 1: f32 Picard base solve ---
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(a_apply(s), wt)
+
+    # Validity sentinel per rod (see _kernel): int8 window + rho bound.
+    comp_abs = jnp.maximum(
+        jnp.maximum(jnp.abs(rk._wide_comp(s, 0)), jnp.abs(rk._wide_comp(s, 1))),
+        jnp.maximum(jnp.abs(rk._wide_comp(s, 2)), jnp.abs(rk._wide_comp(s, 3))),
+    )                                              # (R, p_pad)
+    bad = jnp.max(comp_abs, axis=1, keepdims=True) >= 3.96       # (R, 1)
+    if rho2_limit is not None:
+        k0, k1, k2 = k_hi
+        ss = jnp.max(k0 * k0 + k1 * k1 + k2 * k2, axis=1, keepdims=True)
+        bad = bad | (ss > rho2_limit)
+
+    # --- stage 2: exact residual r = rhs - s D~^T + (1/2)A(K) s ---
+    from .. import ozaki as _oz
+
+    dn_s_hi, dn_s_lo = _oz.matmul_dd_right(s, None, 2,
+                                           wdt_planes_ref[:, :, :], wdt_exp)
+    sw, sx, sy, sz = (rk._wide_comp(s, c) for c in range(4))
+
+    def prod(khh, khl, sv):
+        ph, pe = dd.two_prod(khh, sv)
+        return ph, pe + khl * sv
+
+    def comb(sign0, t0, sign1, t1, sign2, t2):
+        h0, l0 = dd.dd_scale(*t0, sign0)
+        h0, l0 = dd.dd_add(h0, l0, *dd.dd_scale(*t1, sign1))
+        return dd.dd_add(h0, l0, *dd.dd_scale(*t2, sign2))
+
+    k0h, k1h, k2h = k_hi
+    k0l, k1l, k2l = k_lo
+    rows = [
+        comb(-1.0, prod(k0h, k0l, sx), -1.0, prod(k1h, k1l, sy),
+             -1.0, prod(k2h, k2l, sz)),
+        comb(+1.0, prod(k0h, k0l, sw), +1.0, prod(k2h, k2l, sy),
+             -1.0, prod(k1h, k1l, sz)),
+        comb(+1.0, prod(k1h, k1l, sw), -1.0, prod(k2h, k2l, sx),
+             +1.0, prod(k0h, k0l, sz)),
+        comb(+1.0, prod(k2h, k2l, sw), +1.0, prod(k1h, k1l, sx),
+             -1.0, prod(k0h, k0l, sy)),
+    ]
+    ak_hi = jnp.concatenate([r[0] for r in rows], axis=0)
+    ak_lo = jnp.concatenate([r[1] for r in rows], axis=0)
+
+    rr_hi, rr_lo = dd.dd_add(rhs_hi_ref[:, :], rhs_lo_ref[:, :],
+                             -dn_s_hi, -dn_s_lo)
+    rr_hi, rr_lo = dd.dd_add(rr_hi, rr_lo, ak_hi, ak_lo)
+
+    # --- stage 3: f32 Picard correction, dd combine ---
+    res = rr_hi + rr_lo
+    g_res = mm(res, wt)
+    delta = g_res
+    for _ in range(corr_iters):
+        delta = g_res + mm(a_apply(delta), wt)
+    x_hi, x_lo = dd.two_sum(s, delta)
+
+    # --- stage 4: dd tangent (x2) ---
+    xw_h, xx_h, xy_h, xz_h = (rk._wide_comp(x_hi, c) for c in range(4))
+    xw_l, xx_l, xy_l, xz_l = (rk._wide_comp(x_lo, c) for c in range(4))
+    yy = dd.dd_mul(xy_h, xy_l, xy_h, xy_l)
+    zz = dd.dd_mul(xz_h, xz_l, xz_h, xz_l)
+    xy = dd.dd_mul(xx_h, xx_l, xy_h, xy_l)
+    wz = dd.dd_mul(xw_h, xw_l, xz_h, xz_l)
+    xz = dd.dd_mul(xx_h, xx_l, xz_h, xz_l)
+    wy = dd.dd_mul(xw_h, xw_l, xy_h, xy_l)
+    one2 = jnp.full_like(xw_h, 2.0)
+    t0 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -4.0), one2)
+    t1 = dd.dd_scale(*dd.dd_add(*xy, *wz), 4.0)
+    t2 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 4.0)
+    zero = jnp.zeros_like(xw_h)
+    b_hi = jnp.concatenate([t0[0], t1[0], t2[0], zero], axis=0)
+    b_lo = jnp.concatenate([t0[1], t1[1], t2[1], zero], axis=0)
+
+    # --- stage 5: dd position via the second Ozaki apply ---
+    pos_hi, pos_lo = _oz.matmul_dd_right(b_hi, b_lo, 3,
+                                         wgt_planes_ref[:, :, :], wgt_exp,
+                                         pair_budget=5)
+
+    # Poison out-of-domain rods (both fixed-point windows), per rod.
+    b_abs = jnp.maximum(
+        jnp.maximum(jnp.abs(rk._wide_comp(b_hi, 0)),
+                    jnp.abs(rk._wide_comp(b_hi, 1))),
+        jnp.abs(rk._wide_comp(b_hi, 2)),
+    )
+    bad = bad | (jnp.max(b_abs, axis=1, keepdims=True) >= 7.92)
+    bad4 = jnp.concatenate([bad] * 4, axis=0)      # (4R, 1)
+    nan = jnp.float32(np.nan)
+    q_hi_ref[0, :, :] = jnp.where(bad4, nan, x_hi)
+    q_lo_ref[0, :, :] = jnp.where(bad4, nan, x_lo)
+    r_hi_ref[0, :, :] = jnp.where(bad4, nan, pos_hi)
+    r_lo_ref[0, :, :] = jnp.where(bad4, nan, pos_lo)
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_refined_constants(cfg: rod_model.RodConfig):
+    grid = cfg.grid
+    npts = grid.num_unknown
+    p_pad = rk.WIDE_P_PAD
+    r_cnt = rk.WIDE_RODS
+
+    g_pad = np.zeros((p_pad, p_pad))
+    g_pad[:npts, :npts] = grid.ginv
+    wt = g_pad.T.astype(np.float32)                # FULL G~^T
+
+    ptab64 = np.zeros((cfg.ne, p_pad))
+    ptab64[:, :npts] = 0.5 * cfg.basis_table.T     # 1/2 folded in
+    ptab_hi = ptab64.astype(np.float32)
+    ptab_lo = (ptab64 - ptab_hi.astype(np.float64)).astype(np.float32)
+
+    # rhs = -(q0 (x) dn_in), demo BC q0 = (1,0,0,0): w-component rows only.
+    rhs64 = np.zeros((4 * r_cnt, p_pad))
+    rhs64[:r_cnt, :npts] = -grid.dn_in[None, :]
+    rhs_hi = rhs64.astype(np.float32)
+    rhs_lo = (rhs64 - rhs_hi.astype(np.float64)).astype(np.float32)
+    g_rhs = (rhs64 @ g_pad.T).astype(np.float32)   # (I (x) G) rhs, wide
+
+    d_pad = np.zeros((p_pad, p_pad))
+    d_pad[:npts, :npts] = grid.dn_nn
+    wdt_planes, wdt_exp = ozaki.plane_decompose_const(d_pad.T)
+    wgt_planes, wgt_exp = ozaki.plane_decompose_const((0.5 * g_pad).T)
+    return (wt, ptab_hi, ptab_lo, g_rhs, rhs_hi, rhs_lo,
+            wdt_planes, int(wdt_exp), wgt_planes, int(wgt_exp))
+
+
+def _rod_shape_refined_kernel_wide(qes, qes_lo, cfg, iters, corr_iters,
+                                   interpret, check_rho):
+    if cfg.na != 3:
+        raise ValueError("refined kernel: na=3 only (Kirchhoff strains); "
+                         "use rod_shape(method='refined') for na=6")
+    qes, b, b_pad, npts = rk._prepare_wide(qes, cfg)
+    if qes_lo is None:
+        qes_lo = jnp.zeros_like(qes)
+    else:
+        qes_lo = jnp.asarray(qes_lo, jnp.float32)
+        if qes_lo.shape[0] != b_pad:
+            qes_lo = jnp.pad(qes_lo, ((0, b_pad - qes_lo.shape[0]), (0, 0)))
+    qes = jnp.concatenate([qes, qes_lo], axis=1)   # (B_pad, 2*nq)
+    nb = b_pad // rk.WIDE_RODS
+    p_pad = rk.WIDE_P_PAD
+    nq = cfg.na * cfg.ne
+
+    (wt, ptab_hi, ptab_lo, g_rhs, rhs_hi, rhs_lo,
+     wdt_planes, wdt_exp, wgt_planes, wgt_exp) = _wide_refined_constants(cfg)
+
+    kernel = functools.partial(
+        _kernel_wide_refined, iters=iters, corr_iters=corr_iters, ne=cfg.ne,
+        wdt_exp=wdt_exp, wgt_exp=wgt_exp,
+        rho2_limit=(None if check_rho is None
+                    else float((check_rho / cfg.length) ** 2)),
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 4 * rk.WIDE_RODS, p_pad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nb, 4 * rk.WIDE_RODS, p_pad),
+                                     jnp.float32)
+    q_hi, q_lo, r_hi, r_lo = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((rk.WIDE_RODS, 2 * nq), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const((p_pad, p_pad)),
+            const((cfg.ne, p_pad)),
+            const((cfg.ne, p_pad)),
+            const((4 * rk.WIDE_RODS, p_pad)),
+            const((4 * rk.WIDE_RODS, p_pad)),
+            const((4 * rk.WIDE_RODS, p_pad)),
+            const((wdt_planes.shape[0], p_pad, p_pad)),
+            const((wgt_planes.shape[0], p_pad, p_pad)),
+        ],
+        out_specs=(out_spec,) * 4,
+        out_shape=(out_shape,) * 4,
+        interpret=interpret,
+    )(qes, jnp.asarray(wt), jnp.asarray(ptab_hi), jnp.asarray(ptab_lo),
+      jnp.asarray(g_rhs), jnp.asarray(rhs_hi), jnp.asarray(rhs_lo),
+      jnp.asarray(wdt_planes), jnp.asarray(wgt_planes))
+
+    up = lambda o, c: rk.unpack_state_wide(o, b, npts, c)
+    return up(q_hi, 4), up(q_lo, 4), up(r_hi, 3), up(r_lo, 3)
+
+
 @functools.lru_cache(maxsize=None)
 def _refined_constants(cfg: rod_model.RodConfig, p_pad: int, rpc: int):
     grid = cfg.grid
@@ -433,6 +664,10 @@ def rod_shape_refined_kernel(qes, qes_lo=None,
     steps, or split the rod into segments (models/segments.py); see
     diagnostics.picard_iterations_needed.
     """
+    if rk._is_wide(cfg.grid.num_unknown):
+        return _rod_shape_refined_kernel_wide(qes, qes_lo, cfg, iters,
+                                              corr_iters, interpret,
+                                              check_rho)
     if tile > 2048:
         raise ValueError(
             "refined kernel: tile <= 2048 (the dd state + int8 planes of a "

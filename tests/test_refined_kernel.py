@@ -183,3 +183,53 @@ def test_auto_picard_iters_accuracy_intact():
         return q
 
     jax.jit(traced)(qdd[0])
+
+
+def test_wide_refined_kernel_matches_dense_f64():
+    """ROADMAP r3: the single refined kernel in the WIDE layout (n-1 > 32)
+    — dd input at n=64 within the 1e-8 gate vs the f64 dense solve."""
+    cfg = rod.RodConfig(n=64)
+    rng = np.random.default_rng(7)
+    qe64 = 0.8 * rng.standard_normal((5, 9))
+    qe_hi, qe_lo = rod.split_strain(qe64)
+    q_hi, q_lo, r_hi, r_lo = refined_kernel.rod_shape_refined_kernel(
+        jnp.asarray(qe_hi), qes_lo=jnp.asarray(qe_lo), cfg=cfg, iters=24,
+        corr_iters=24, interpret=True)
+    q = np.asarray(q_hi, np.float64) + np.asarray(q_lo, np.float64)
+    r = np.asarray(r_hi, np.float64) + np.asarray(r_lo, np.float64)
+    sol = rod.rod_shape(jnp.asarray(qe64), cfg=cfg, method="dense")
+    q_ref = np.asarray(sol.quaternions)
+    r_ref = np.asarray(sol.positions)
+    assert np.abs(q - q_ref).max() / np.abs(q_ref).max() < 1e-8
+    assert np.abs(r - r_ref).max() / np.abs(r_ref).max() < 1e-8
+
+
+def test_wide_refined_kernel_ragged_batch_and_sentinel():
+    """Wide layout: a non-multiple-of-32 batch unpacks correctly, and an
+    out-of-domain rod (rho > 5) comes back NaN while its neighbours stay
+    clean."""
+    cfg = rod.RodConfig(n=48)
+    rng = np.random.default_rng(8)
+    qes = 0.5 * rng.standard_normal((37, 9))
+    qes[11] = 0.0
+    qes[11, 3] = 12.0          # rho = 6: beyond the validity domain
+    q_hi, q_lo, r_hi, r_lo = refined_kernel.rod_shape_refined_kernel(
+        jnp.asarray(qes, jnp.float32), cfg=cfg, iters=20, corr_iters=20,
+        interpret=True)
+    q = np.asarray(q_hi, np.float64) + np.asarray(q_lo, np.float64)
+    r = np.asarray(r_hi, np.float64) + np.asarray(r_lo, np.float64)
+    assert np.isnan(q[11]).all() and np.isnan(r[11]).all()
+    clean = [i for i in range(37) if i != 11]
+    assert np.isfinite(q[clean]).all() and np.isfinite(r[clean]).all()
+    # ragged correctness: rod 36 == its single-rod wide solve
+    q1_hi, q1_lo, r1_hi, r1_lo = refined_kernel.rod_shape_refined_kernel(
+        jnp.asarray(qes[36:37], jnp.float32), cfg=cfg, iters=20,
+        corr_iters=20, interpret=True)
+    np.testing.assert_allclose(
+        q[36], np.asarray(q1_hi, np.float64)[0] + np.asarray(q1_lo,
+                                                             np.float64)[0],
+        atol=1e-12)
+    np.testing.assert_allclose(
+        r[36], np.asarray(r1_hi, np.float64)[0] + np.asarray(r1_lo,
+                                                             np.float64)[0],
+        atol=1e-12)
