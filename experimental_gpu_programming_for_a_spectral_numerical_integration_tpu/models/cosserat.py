@@ -200,15 +200,17 @@ def _residual_from_state(qe, q, r, tip_force, tip_moment, cfg: StaticsConfig):
 
     # Static moment about each section, in the body frame (normalized
     # rotation: this is our physics model, not a reference-parity path).
-    rot = lie.quat_to_rot_normalized(q)                    # (..., n, 3, 3)
+    # Rotations stay in QUATERNION-VECTOR form (lie.quat_rotate_*): the 3x3
+    # route costs ~4x in AD-tangent temporaries on the Jacobian path.
     r_tip = r[..., :1, :]                                  # tip is point 0
     arm = r_tip - r                                        # (..., n, 3)
     tip_force = jnp.asarray(tip_force, dtype)
     if cfg.follower:
         # follower force: rotate the body-frame tip load into the world
         # at the CURRENT tip orientation (non-conservative).
-        tip_force = jnp.einsum("...ij,...j->...i", rot[..., :1, :, :],
-                               tip_force, precision="highest")
+        tip_force = lie.quat_rotate_normalized(
+            q[..., :1, :], jnp.broadcast_to(tip_force,
+                                            arm[..., :1, :].shape))
     f = jnp.broadcast_to(tip_force, arm.shape)
     world_moment = jnp.cross(arm, f) + jnp.asarray(tip_moment, dtype)
 
@@ -224,8 +226,7 @@ def _residual_from_state(qe, q, r, tip_force, tip_moment, cfg: StaticsConfig):
         tr = jnp.einsum("ij,...jc->...ic", t_op, r, precision="highest")
         dist_arm = tr - tail_len[:, None] * r
         world_moment = world_moment + jnp.cross(dist_arm, w_dist)
-    tau = jnp.einsum("...nij,...nj->...ni", jnp.swapaxes(rot, -1, -2),
-                     world_moment, precision="highest")
+    tau = lie.quat_rotate_inv_normalized(q, world_moment)
 
     if rc.na == 6:
         # Force balance rows: the internal force at section X is the tip
@@ -237,8 +238,7 @@ def _residual_from_state(qe, q, r, tip_force, tip_moment, cfg: StaticsConfig):
             world_force = world_force + tail_len[:, None] * jnp.asarray(
                 cfg.distributed_force, dtype
             )
-        n_body = jnp.einsum("...nij,...nj->...ni", jnp.swapaxes(rot, -1, -2),
-                            world_force, precision="highest")
+        n_body = lie.quat_rotate_inv_normalized(q, world_force)
         tau = jnp.concatenate([tau, n_body], axis=-1)      # (..., n, 6)
 
     # Weak form: res[a, e] = sum_j w_j P_e(x_j) (H xi - tau)[j, a].
@@ -470,14 +470,22 @@ def _fused_full_state(qe, rc: rod.RodConfig, iters, tile, interpret):
             jnp.concatenate([r, base_r], axis=-2))
 
 
-def _fused_state_and_tangents(qe, cfg: StaticsConfig, iters, tile, interpret):
+def _fused_state_and_tangents(qe, cfg: StaticsConfig, iters, tile, interpret,
+                              jac_iters: int | None = None):
     """Primal full-grid state + its Jacobian-mode tangents d(q, r)/d(qe_j)
     for ALL nq = na*ne strain directions, with the implicit-function rule
     solved on the MXU: ONE fused primal solve plus ONE batched fused
     correction solve (directions stacked into the batch axis) replace the
     nq-chain of differentiated Picard iterations — the kernel-lifted IFT
     (≙ solve_ivp_picard_implicit's rule, ops/collocation.py:243-268).
+
+    ``jac_iters``: Picard count for the direction corrections (default =
+    ``iters``).  The stacked correction is ~nq x the base solve's work, and
+    Newton tolerates a ~1e-3-grade Jacobian with no extra iterations — a
+    reduced count here is the main throughput lever of the batched solver.
     """
+    if jac_iters is None:
+        jac_iters = iters
     from ..ops import lie
     from ..ops.pallas import rod_kernel as rk
 
@@ -504,7 +512,7 @@ def _fused_state_and_tangents(qe, cfg: StaticsConfig, iters, tile, interpret):
     rhs = jnp.einsum("jice,bie->jbic", dm, q_unk)          # (nk, B, npts, 4)
     dq_k = rk.picard_correction_fused(
         jnp.tile(qe, (nk, 1)), rhs.reshape(nk * b, npts, 4),
-        cfg=rc, iters=iters, tile=tile, interpret=interpret,
+        cfg=rc, iters=jac_iters, tile=tile, interpret=interpret,
     ).reshape(nk, b, npts, 4)
     dq_dirs = (jnp.concatenate(
         [dq_k, jnp.zeros((nq - nk, b, npts, 4), dq_k.dtype)], axis=0)
@@ -544,19 +552,21 @@ def _jvp_jacobian(f, qe, q_full, r_full, dq_dirs, dr_dirs):
     dr_full = pad_base(dr_dirs)
     eye = jnp.eye(nq, dtype=qe.dtype)
 
-    res = f(qe, q_full, r_full)
+    # linearize, not nq jvps: ONE primal evaluation plus nq applications of
+    # the (much cheaper) linear map — measured 4x on the res+jac glue.
+    res, f_lin = jax.linearize(f, qe, q_full, r_full)
 
-    def dir_jvp(ej, dqj, drj):
-        return jax.jvp(f, (qe, q_full, r_full),
-                       (jnp.broadcast_to(ej, qe.shape), dqj, drj))[1]
+    def dir_tangent(ej, dqj, drj):
+        return f_lin(jnp.broadcast_to(ej, qe.shape), dqj, drj)
 
-    dres = jax.vmap(dir_jvp)(eye, dq_full, dr_full)        # (nq, B, nq)
+    dres = jax.vmap(dir_tangent)(eye, dq_full, dr_full)    # (nq, B, nq)
     return res, jnp.moveaxis(dres, 0, -1)                  # (B, nq_out, nq_dir)
 
 
 def residual_and_jacobian_fused(qe, tip_force, tip_moment,
                                 cfg: StaticsConfig, iters: int = 16,
-                                tile: int = None, interpret: bool = False):
+                                tile: int = None, interpret: bool = False,
+                                jac_iters: int | None = None):
     """Batched residual + exact per-sample Jacobian on the fused path.
 
     ``qe (B, nq)`` -> ``(res (B, nq), jac (B, nq, nq))``.  The state
@@ -564,7 +574,7 @@ def residual_and_jacobian_fused(qe, tip_force, tip_moment,
     itself is pure XLA so its directional derivatives are plain ``jvp``s.
     """
     q_full, r_full, dq_dirs, dr_dirs = _fused_state_and_tangents(
-        qe, cfg, iters, tile, interpret)
+        qe, cfg, iters, tile, interpret, jac_iters)
 
     def f(qe_, q_, r_):
         return _residual_from_state(qe_, q_, r_, tip_force, tip_moment, cfg)
@@ -605,7 +615,8 @@ def solve_statics_batched(tip_force, tip_moment=None,
                           damping: float = 1.0, iters: int = 16,
                           tile: int = None, interpret: bool = False,
                           dd_residual: bool = False, dd_iters: int = 24,
-                          refine_steps: int = 2) -> StaticsSolution:
+                          refine_steps: int = 2,
+                          jac_iters: int = 8) -> StaticsSolution:
     """Natively-batched Newton on the fused-kernel path.
 
     ``tip_force (B, 3)`` -> converged strains ``(B, nq)``.  Unlike
@@ -640,7 +651,8 @@ def solve_statics_batched(tip_force, tip_moment=None,
 
     def res_jac(qe):
         return residual_and_jacobian_fused(qe, tf, tm, cfg, iters=iters,
-                                           tile=tile, interpret=interpret)
+                                           tile=tile, interpret=interpret,
+                                           jac_iters=jac_iters)
 
     from ..ops import doubledouble as dd
 
@@ -654,7 +666,7 @@ def solve_statics_batched(tip_force, tip_moment=None,
         return _residual_from_state(qe_pair[0], q_full, r_full, tf, tm, cfg)
 
     def cond(state):
-        _, _, k, res = state
+        _, _, k, res, _ = state
         return jnp.logical_and(
             k < max_iter,
             jnp.any(jnp.linalg.norm(res, axis=-1) > tol),
@@ -663,18 +675,25 @@ def solve_statics_batched(tip_force, tip_moment=None,
     def body(state):
         # The strain iterate is a dd pair: Newton steps shrink below the
         # f32 ulp of qe (~1e-8 relative) long before tight tolerances.
-        qe_hi, qe_lo, k, res = state
-        _, jac = res_jac(qe_hi)
+        qe_hi, qe_lo, k, res, jac = state
         step = smallsolve.gauss_jordan_solve(jac, res)
         active = (jnp.linalg.norm(res, axis=-1) > tol)[..., None]
         step = jnp.where(active, damping * step, 0.0)
         qe_hi, qe_lo = dd.dd_add(qe_hi, qe_lo, -step, jnp.zeros_like(step))
-        return qe_hi, qe_lo, k + 1, res_only((qe_hi, qe_lo))
+        # ONE fused state+tangents evaluation serves both the next
+        # Jacobian and the convergence residual (the dd tier re-evaluates
+        # the residual on the dd path — that cancellation is its point).
+        res_new, jac_new = res_jac(qe_hi)
+        if dd_residual:
+            res_new = res_only((qe_hi, qe_lo))
+        return qe_hi, qe_lo, k + 1, res_new, jac_new
 
     qe0_lo = jnp.zeros_like(qe0)
-    res0 = res_only((qe0, qe0_lo))
-    qe, qe_lo_out, k, res = jax.lax.while_loop(
-        cond, body, (qe0, qe0_lo, jnp.zeros((), jnp.int32), res0))
+    res0, jac0 = res_jac(qe0)
+    if dd_residual:
+        res0 = res_only((qe0, qe0_lo))
+    qe, qe_lo_out, k, res, _ = jax.lax.while_loop(
+        cond, body, (qe0, qe0_lo, jnp.zeros((), jnp.int32), res0, jac0))
     rnorm = jnp.linalg.norm(res, axis=-1)
     return StaticsSolution(qe=qe, iterations=k, residual_norm=rnorm,
                            converged=rnorm <= tol,

@@ -20,6 +20,8 @@ __all__ = [
     "quat_skew",
     "quat_to_rot",
     "quat_to_rot_normalized",
+    "quat_rotate_normalized",
+    "quat_rotate_inv_normalized",
     "quat_tangent",
     "quat_multiply",
     "quat_conjugate",
@@ -124,6 +126,30 @@ def quat_to_rot(q):
 def quat_to_rot_normalized(q):
     """Normalized quaternion → proper rotation matrix."""
     return quat_to_rot(quat_normalize(q))
+
+
+def quat_rotate_normalized(q, v):
+    """``R(q/|q|) @ v`` without materializing the 3x3 matrix.
+
+    ``R v = v + (2/|q|^2) [ s (u x v) + u x (u x v) ]`` with ``q = (s, u)``.
+    Vector form keeps AD tangents to a handful of ``(..., 3)`` temporaries
+    — the 3x3 route generates an order of magnitude more intermediate
+    traffic under ``jvp``/``vmap`` (measured on the statics Jacobian path).
+    """
+    s = q[..., :1]
+    u = q[..., 1:]
+    n2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    uv = jnp.cross(u, v)
+    return v + (2.0 / n2) * (s * uv + jnp.cross(u, uv))
+
+
+def quat_rotate_inv_normalized(q, v):
+    """``R(q/|q|)^T @ v`` (inverse rotation), vector form."""
+    s = q[..., :1]
+    u = q[..., 1:]
+    n2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    uv = jnp.cross(u, v)
+    return v + (2.0 / n2) * (-s * uv + jnp.cross(u, uv))
 
 
 def quat_tangent(q):
