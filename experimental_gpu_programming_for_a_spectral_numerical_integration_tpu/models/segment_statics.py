@@ -145,9 +145,9 @@ def segmented_equilibrium_residual(qe_segs, tip_force, tip_moment,
     if cfg.follower:
         # Rotate the body-frame tip force at the CURRENT global tip
         # orientation (tip = point 0 of the last segment's full grid).
-        rot_tip = lie.quat_to_rot_normalized(qs[-1][..., 0, :])
-        tip_force = jnp.einsum("...ij,...j->...i", rot_tip, tip_force,
-                               precision="highest")
+        tip_force = lie.quat_rotate_normalized(
+            qs[-1][..., 0, :],
+            jnp.broadcast_to(tip_force, qs[-1][..., 0, :3].shape))
 
     res = []
     for s, seg in enumerate(cfg.rods.segments):
@@ -160,17 +160,13 @@ def segmented_equilibrium_residual(qe_segs, tip_force, tip_moment,
             k0 = jnp.asarray(cfg.kappa0, dtype)[s]
             kappa = kappa - basis_ops.strain_at_points(k0, table)
 
-        rot = lie.quat_to_rot_normalized(qs[s])            # (..., n_s, 3, 3)
         arm = r_tip[..., None, :] - rs[s]                  # (..., n_s, 3)
         f = jnp.broadcast_to(tip_force[..., None, :], arm.shape)
         world_moment = jnp.cross(arm, f) + tip_moment[..., None, :]
-        tau = jnp.einsum("...nij,...nj->...ni",
-                         jnp.swapaxes(rot, -1, -2), world_moment,
-                         precision="highest")
+        # quaternion-vector body transport (see cosserat._residual_from_state)
+        tau = lie.quat_rotate_inv_normalized(qs[s], world_moment)
         if seg.na == 6:
-            n_body = jnp.einsum("...nij,...nj->...ni",
-                                jnp.swapaxes(rot, -1, -2), f,
-                                precision="highest")
+            n_body = lie.quat_rotate_inv_normalized(qs[s], f)
             tau = jnp.concatenate([tau, n_body], axis=-1)
 
         mr = h * kappa - tau                               # (..., n_s, na)
