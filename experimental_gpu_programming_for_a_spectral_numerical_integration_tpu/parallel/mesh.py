@@ -25,6 +25,7 @@ __all__ = [
     "shard_rods",
     "replicate",
     "sharded_rod_shape",
+    "sharded_solve_statics",
 ]
 
 RODS_AXIS = "rods"
@@ -100,3 +101,43 @@ def sharded_rod_shape(mesh: Mesh, method: str = "picard", **kwargs):
     return jax.jit(
         step, in_shardings=batch_spec, out_shardings=(out_spec, out_spec)
     )
+
+
+def sharded_solve_statics(mesh: Mesh, cfg=None, **kwargs):
+    """Multi-chip batched statics: ``loads (B, 3) -> StaticsSolution``.
+
+    Each chip runs the full fused-path Newton (`solve_statics_batched`) on
+    its local slab of the load batch under ``shard_map`` — rods are
+    independent, so there are no collectives and no cross-chip
+    synchronization: a chip whose slab converges early simply finishes its
+    ``while_loop`` sooner.  ``iterations`` is reported per rod (each rod
+    carries its shard's Newton count).
+    """
+    import jax.numpy as jnp
+
+    from ..models import cosserat
+
+    if cfg is None:
+        cfg = cosserat.StaticsConfig()
+
+    def local(loads):
+        sol = cosserat.solve_statics_batched(loads, cfg=cfg, **kwargs)
+        iters = jnp.full(loads.shape[:1], sol.iterations)
+        return sol.qe, iters, sol.residual_norm, sol.converged
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(RODS_AXIS, None),
+        out_specs=(P(RODS_AXIS, None), P(RODS_AXIS), P(RODS_AXIS),
+                   P(RODS_AXIS)),
+        check_vma=False,      # pallas_call carries no varying-axes info
+    )
+    batch_spec = NamedSharding(mesh, P(RODS_AXIS, None))
+    jitted = jax.jit(step, in_shardings=batch_spec)
+
+    def solve(loads):
+        qe, iters, rnorm, conv = jitted(loads)
+        return cosserat.StaticsSolution(qe=qe, iterations=iters,
+                                        residual_norm=rnorm, converged=conv)
+
+    return solve

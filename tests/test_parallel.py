@@ -132,3 +132,30 @@ def test_sharded_fused_kernel_matches_picard():
     np.testing.assert_allclose(np.asarray(r), np.asarray(ref.positions),
                                atol=5e-5)
     assert len(q.sharding.device_set) == 8
+
+
+def test_sharded_statics_matches_unsharded():
+    """Multi-chip batched statics: each chip Newton-solves its own slab
+    under shard_map (no collectives); results equal the single-device
+    batched solve."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        cosserat,
+        rod,
+    )
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.parallel import (
+        mesh as pmesh,
+    )
+
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.default_rng(21)
+    loads = jnp.asarray(rng.uniform(-0.4, 0.4, (64, 3)), jnp.float32)
+    solve = pmesh.sharded_solve_statics(mesh, cfg=cfg, tol=1e-5, max_iter=12,
+                                        iters=16, interpret=True)
+    sol = solve(pmesh.shard_rods(mesh, loads))
+    assert np.asarray(sol.converged).all()
+    ref = cosserat.solve_statics_batched(loads, cfg=cfg, tol=1e-5,
+                                         max_iter=12, iters=16,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(sol.qe), np.asarray(ref.qe),
+                               atol=2e-5)
