@@ -249,12 +249,9 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
         r_lo_ref[rows, :] = jnp.where(bad, nan, pos_lo[rows, :])
 
 
-def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref,
-                         g_rhs_ref, rhs_hi_ref, rhs_lo_ref,
-                         wdt_planes_ref, wgt_planes_ref,
-                         q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref, *,
+def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref, *rest,
                          iters, corr_iters, ne, wdt_exp, wgt_exp,
-                         rho2_limit):
+                         rho2_limit, bc=False):
     """WIDE-layout (32 < n-1 < 128) fully-fused refined solve.
 
     Same five stages as :func:`_kernel`, transposed: points ride the 128
@@ -262,9 +259,19 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref,
     operator applies FROM THE RIGHT (``s @ Op^T``) — so the exact Ozaki
     contractions use :func:`ozaki.matmul_dd_right` on transposed planes.
     Unlocks the single-kernel accuracy path for the N=64 statics grid and
-    N=128-class high-order solves (ROADMAP r3).
+    N=128-class high-order solves (ROADMAP r3).  ``bc=True`` takes per-rod
+    double-word junction states instead of the demo boundary conditions
+    (multi-segment accuracy chains with wide segment grids).
     """
     from .. import doubledouble as dd
+
+    if bc:
+        (din_hi_ref, din_lo_ref, gdin_hi_ref, gdin_lo_ref, q0_ref, r0_ref,
+         wdt_planes_ref, wgt_planes_ref,
+         q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref) = rest
+    else:
+        (g_rhs_ref, rhs_hi_ref, rhs_lo_ref, wdt_planes_ref, wgt_planes_ref,
+         q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref) = rest
 
     mm = rk._make_mm("high")
 
@@ -293,7 +300,24 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref,
     a_apply = rk._wide_a_apply(k_hi)
 
     wt = wt_ref[:, :]                             # (p_pad, p_pad) FULL G~^T
-    g_rhs = g_rhs_ref[:, :]                       # (4R, p_pad)
+    if bc:
+        # rhs = -(q0 (x) dn_in) built in-kernel, in dd (dn_in rides the
+        # lanes; exact outer products with the dd junction quaternion).
+        din_h, din_l = din_hi_ref[:, :], din_lo_ref[:, :]   # (1, p_pad)
+        rb_hi, rb_lo = [], []
+        for c in range(4):
+            col_h = q0_ref[:, c:c + 1]                      # (R, 1)
+            col_l = q0_ref[:, 4 + c:5 + c]
+            ph, pl = dd.dd_mul(col_h, col_l, din_h, din_l)
+            rb_hi.append(-ph)
+            rb_lo.append(-pl)
+        rhs_hi = jnp.concatenate(rb_hi, axis=0)             # (4R, p_pad)
+        rhs_lo = jnp.concatenate(rb_lo, axis=0)
+        g_rhs = mm(rhs_hi, wt)
+    else:
+        rhs_hi = rhs_hi_ref[:, :]
+        rhs_lo = rhs_lo_ref[:, :]
+        g_rhs = g_rhs_ref[:, :]                   # (4R, p_pad)
 
     # --- stage 1: f32 Picard base solve ---
     s = g_rhs
@@ -342,8 +366,7 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref,
     ak_hi = jnp.concatenate([r[0] for r in rows], axis=0)
     ak_lo = jnp.concatenate([r[1] for r in rows], axis=0)
 
-    rr_hi, rr_lo = dd.dd_add(rhs_hi_ref[:, :], rhs_lo_ref[:, :],
-                             -dn_s_hi, -dn_s_lo)
+    rr_hi, rr_lo = dd.dd_add(rhs_hi, rhs_lo, -dn_s_hi, -dn_s_lo)
     rr_hi, rr_lo = dd.dd_add(rr_hi, rr_lo, ak_hi, ak_lo)
 
     # --- stage 3: f32 Picard correction, dd combine ---
@@ -375,6 +398,20 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref,
     pos_hi, pos_lo = _oz.matmul_dd_right(b_hi, b_lo, 3,
                                          wgt_planes_ref[:, :, :], wgt_exp,
                                          pair_budget=5)
+    if bc:
+        # r_init enters OUTSIDE the int8 apply (|dn_in| ~ N^2/L would blow
+        # the fixed-point window): -(G dn_in) (x) r0, exact dd products.
+        gd_h, gd_l = gdin_hi_ref[:, :], gdin_lo_ref[:, :]   # (1, p_pad)
+        eb_hi, eb_lo = [], []
+        for c in range(4):
+            col_h = r0_ref[:, c:c + 1]
+            col_l = r0_ref[:, 4 + c:5 + c]
+            ph, pl = dd.dd_mul(col_h, col_l, gd_h, gd_l)
+            eb_hi.append(-ph)
+            eb_lo.append(-pl)
+        pos_hi, pos_lo = dd.dd_add(pos_hi, pos_lo,
+                                   jnp.concatenate(eb_hi, axis=0),
+                                   jnp.concatenate(eb_lo, axis=0))
 
     # Poison out-of-domain rods (both fixed-point windows), per rod.
     b_abs = jnp.maximum(
@@ -481,6 +518,102 @@ def _rod_shape_refined_kernel_wide(qes, qes_lo, cfg, iters, corr_iters,
 
 
 @functools.lru_cache(maxsize=None)
+def _wide_bc_constants(cfg: rod_model.RodConfig):
+    """dd splits of the wide-layout BC rows: ``dn_in`` and ``G @ dn_in``
+    as (1, p_pad) lane vectors."""
+    from .. import doubledouble as dd
+
+    grid = cfg.grid
+    npts = grid.num_unknown
+    p_pad = rk.WIDE_P_PAD
+    din64 = np.zeros((1, p_pad))
+    din64[0, :npts] = grid.dn_in
+    gdin64 = np.zeros((1, p_pad))
+    gdin64[0, :npts] = grid.ginv @ grid.dn_in
+    return dd.split_f64(din64) + dd.split_f64(gdin64)
+
+
+def _rod_shape_refined_kernel_bc_wide(qes, q_init, r_init, qes_lo,
+                                      q_init_lo, r_init_lo, cfg, iters,
+                                      corr_iters, interpret, check_rho):
+    if cfg.na != 3:
+        raise ValueError("refined kernel: na=3 only (Kirchhoff strains)")
+    qes, b, b_pad, npts = rk._prepare_wide(qes, cfg)
+    if qes_lo is None:
+        qes_lo = jnp.zeros_like(qes)
+    else:
+        qes_lo = jnp.asarray(qes_lo, jnp.float32)
+        if qes_lo.shape[0] != b_pad:
+            qes_lo = jnp.pad(qes_lo, ((0, b_pad - qes_lo.shape[0]), (0, 0)))
+    qes = jnp.concatenate([qes, qes_lo], axis=1)
+    nb = b_pad // rk.WIDE_RODS
+    p_pad = rk.WIDE_P_PAD
+    nq = cfg.na * cfg.ne
+
+    def pack_dd8(v_hi, v_lo):
+        """(B, c<=4) dd pair -> (B_pad, 8): hi cols then lo cols."""
+        v_hi = jnp.asarray(v_hi, jnp.float32)
+        v_lo = (jnp.zeros_like(v_hi) if v_lo is None
+                else jnp.asarray(v_lo, jnp.float32))
+        out = []
+        for v in (v_hi, v_lo):
+            out.append(jnp.pad(
+                v, ((0, b_pad - v.shape[0]), (0, 4 - v.shape[1]))))
+        return jnp.concatenate(out, axis=1)
+
+    q0 = pack_dd8(q_init, q_init_lo)                   # (B_pad, 8)
+    r0 = pack_dd8(r_init, r_init_lo)
+
+    (wt, ptab_hi, ptab_lo, _, _, _,
+     wdt_planes, wdt_exp, wgt_planes, wgt_exp) = _wide_refined_constants(cfg)
+    din_hi, din_lo, gdin_hi, gdin_lo = _wide_bc_constants(cfg)
+
+    kernel = functools.partial(
+        _kernel_wide_refined, iters=iters, corr_iters=corr_iters, ne=cfg.ne,
+        wdt_exp=wdt_exp, wgt_exp=wgt_exp,
+        rho2_limit=(None if check_rho is None
+                    else float((check_rho / cfg.length) ** 2)),
+        bc=True,
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    rod_spec = lambda cols: pl.BlockSpec((rk.WIDE_RODS, cols),
+                                         lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 4 * rk.WIDE_RODS, p_pad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nb, 4 * rk.WIDE_RODS, p_pad),
+                                     jnp.float32)
+    q_hi, q_lo, r_hi, r_lo = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            rod_spec(2 * nq),
+            const((p_pad, p_pad)),
+            const((cfg.ne, p_pad)),
+            const((cfg.ne, p_pad)),
+            const((1, p_pad)),
+            const((1, p_pad)),
+            const((1, p_pad)),
+            const((1, p_pad)),
+            rod_spec(8),
+            rod_spec(8),
+            const((wdt_planes.shape[0], p_pad, p_pad)),
+            const((wgt_planes.shape[0], p_pad, p_pad)),
+        ],
+        out_specs=(out_spec,) * 4,
+        out_shape=(out_shape,) * 4,
+        interpret=interpret,
+    )(qes, jnp.asarray(wt), jnp.asarray(ptab_hi), jnp.asarray(ptab_lo),
+      jnp.asarray(din_hi), jnp.asarray(din_lo),
+      jnp.asarray(gdin_hi), jnp.asarray(gdin_lo), q0, r0,
+      jnp.asarray(wdt_planes), jnp.asarray(wgt_planes))
+
+    up = lambda o, c: rk.unpack_state_wide(o, b, npts, c)
+    return up(q_hi, 4), up(q_lo, 4), up(r_hi, 3), up(r_lo, 3)
+
+
+@functools.lru_cache(maxsize=None)
 def _refined_constants(cfg: rod_model.RodConfig, p_pad: int, rpc: int):
     grid = cfg.grid
     npts = grid.num_unknown
@@ -557,8 +690,13 @@ def rod_shape_refined_kernel_bc(qes, q_init, r_init, qes_lo=None,
     ``rod_kernel.rod_shape_fused_bc``: multi-segment rods chain through it
     without dropping to f32 at the junctions (models/segments.py,
     method='refined_fused').  ≙ `/root/reference/main.cpp:106,154` with the
-    boundary values generalized.
+    boundary values generalized.  Wide grids (32 < n-1 < 128) route to the
+    wide-layout variant.
     """
+    if rk._is_wide(cfg.grid.num_unknown):
+        return _rod_shape_refined_kernel_bc_wide(
+            qes, q_init, r_init, qes_lo, q_init_lo, r_init_lo, cfg, iters,
+            corr_iters, interpret, check_rho)
     if tile > 2048:
         raise ValueError("refined kernel: tile <= 2048 (VMEM limit)")
     qes, b, b_pad, npts, p_pad, rpc = rk._prepare(qes, cfg, tile)

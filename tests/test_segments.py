@@ -197,3 +197,24 @@ def test_segmented_fused_matches_picard():
                                np.asarray(pic.tip_position), atol=2e-4)
     np.testing.assert_allclose(np.asarray(fused.junction_quaternions),
                                np.asarray(pic.junction_quaternions), atol=2e-4)
+
+
+def test_segmented_refined_fused_wide_grids():
+    """Accuracy chains with WIDE segment grids (n-1 > 32): the wide-BC
+    variant of the single refined kernel carries dd junction states, so a
+    2x n=48 chain stays ~1e-9-grade vs the f64 chained dense solve."""
+    cfg = segments.uniform_segments(2, n=48)
+    rng = np.random.default_rng(5)
+    qe64 = 0.5 * rng.standard_normal((3, 2, 9))
+    qe_hi, qe_lo = rod.split_strain(qe64)
+    sol = segments.segmented_rod_shape(
+        (jnp.asarray(qe_hi), jnp.asarray(qe_lo)), cfg,
+        method="refined_fused", iters=22, corr_iters=22, interpret=True)
+    ref = segments.segmented_rod_shape(jnp.asarray(qe64), cfg,
+                                       method="dense")
+    tip_ref = np.asarray(ref.tip_position)
+    rel = np.abs(sol.tip_position_f64() - tip_ref).max() / \
+        np.abs(tip_ref).max()
+    assert rel < 1e-8
+    assert np.abs(sol.tip_quaternion_f64()
+                  - np.asarray(ref.tip_quaternion)).max() < 1e-8
