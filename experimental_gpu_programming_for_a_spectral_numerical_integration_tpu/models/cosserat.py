@@ -853,11 +853,21 @@ class BatchedContinuationPath(NamedTuple):
     ``lambdas (steps, B)``, ``qes (steps, B, nq)``, ``converged (steps, B)``.
     A ``False`` in ``converged`` means that sample spent the step halving
     its arc length instead of advancing (its row repeats the previous
-    state) — the batched analogue of the host loop's retry."""
+    state) — the batched analogue of the host loop's retry.
+
+    With ``monitor_stability=True``, ``det_sign``/``log_abs_det``
+    ``(steps, B)`` carry the equilibrium Jacobian's determinant monitors at
+    each path point (device-side, from the elimination pivots): a sign
+    change between consecutive converged rows brackets a fold or an
+    odd-multiplicity branch point — hand those brackets to
+    ``bifurcation.detect_critical_points`` for refinement/classification.
+    """
 
     lambdas: jnp.ndarray
     qes: jnp.ndarray
     converged: jnp.ndarray
+    det_sign: jnp.ndarray = None
+    log_abs_det: jnp.ndarray = None
 
 
 def arc_length_continuation_batched(load_refs,
@@ -870,6 +880,7 @@ def arc_length_continuation_batched(load_refs,
                                     tile: int = None,
                                     interpret: bool = False,
                                     direction: float = 1.0,
+                                    monitor_stability: bool = False,
                                     ) -> BatchedContinuationPath:
     """Device-batched Riks continuation over a FAMILY of load rays.
 
@@ -932,7 +943,7 @@ def arc_length_continuation_batched(load_refs,
         t = smallsolve.gauss_jordan_solve(a, rhs)
         norm = jnp.sqrt(jnp.sum(t[:, :nq] ** 2, axis=1)
                         + psi ** 2 * t[:, nq] ** 2)
-        return t / norm[:, None]
+        return t / norm[:, None], jac
 
     def aug_and_jac(x, x_pred, t):
         qe, lam = x[:, :nq], x[:, nq]
@@ -968,21 +979,31 @@ def arc_length_continuation_batched(load_refs,
 
     t0 = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(
         jnp.float32(direction))
-    t = tangent(x, t0)
+    t, _ = tangent(x, t0)
+
+    def monitors(jac):
+        if not monitor_stability:
+            return (jnp.zeros((b,), jnp.float32),) * 2
+        return smallsolve.det_sign_logabs(jac)
 
     def walk(state, _):
         x, t, ds_k = state
         x_pred = x + ds_k[:, None] * t
         x_new, ok = corrector(x_pred, t)
         x = jnp.where(ok[:, None], x_new, x)
-        t_new = tangent(x, t)
+        t_new, jac = tangent(x, t)
         t = jnp.where(ok[:, None], t_new, t)
         ds_k = jnp.where(ok, jnp.minimum(ds, ds_k * 1.5), ds_k * 0.5)
-        return (x, t, ds_k), (x[:, nq], x[:, :nq], ok)
+        sign, logabs = monitors(jac)
+        return (x, t, ds_k), (x[:, nq], x[:, :nq], ok, sign, logabs)
 
-    _, (lambdas, qes, conv) = jax.lax.scan(
+    _, (lambdas, qes, conv, signs, logdets) = jax.lax.scan(
         walk, (x, t, jnp.full((b,), ds, jnp.float32)), None, length=steps)
-    return BatchedContinuationPath(lambdas=lambdas, qes=qes, converged=conv)
+    if not monitor_stability:
+        return BatchedContinuationPath(lambdas=lambdas, qes=qes,
+                                       converged=conv)
+    return BatchedContinuationPath(lambdas=lambdas, qes=qes, converged=conv,
+                                   det_sign=signs, log_abs_det=logdets)
 
 
 def load_continuation(tip_forces, tip_moments=None,

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["gauss_jordan_solve"]
+__all__ = ["gauss_jordan_solve", "det_sign_logabs"]
 
 
 def gauss_jordan_solve(a, b):
@@ -66,3 +66,42 @@ def gauss_jordan_solve(a, b):
     diag = jnp.einsum("...ii->...i", aug[..., :, :n])
     x = aug[..., :, n:] / diag[..., :, None]
     return x[..., 0] if squeeze else x
+
+
+def det_sign_logabs(a):
+    """``(sign(det a), log|det a|)`` for small static ``n``, batched.
+
+    Same unrolled pivoted elimination as :func:`gauss_jordan_solve` (row
+    combinations leave the determinant unchanged; each realized swap flips
+    the sign), recording the pivots — the TPU-native replacement for
+    ``jnp.linalg.slogdet``'s batched-LU custom call.  Used by the stability
+    monitors of the batched Riks walker (``det(J)`` crossings flag folds
+    and odd-multiplicity branch points on device).
+    """
+    a = jnp.asarray(a)
+    n = a.shape[-1]
+    idx = jnp.arange(n)
+    sign = jnp.ones(a.shape[:-2], a.dtype)
+    logabs = jnp.zeros(a.shape[:-2], a.dtype)
+
+    for k in range(n):
+        col = jnp.abs(a[..., :, k])
+        col = jnp.where(idx >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)
+        sel_p = (idx == p[..., None]).astype(a.dtype)
+        row_p = jnp.einsum("...n,...nm->...m", sel_p, a)
+        row_k = a[..., k, :]
+        sel_k = (idx == k).astype(a.dtype)
+        a = (a
+             + sel_k[..., :, None] * (row_p - row_k)[..., None, :]
+             + sel_p[..., :, None] * (row_k - row_p)[..., None, :])
+        sign = sign * jnp.where(p == k, 1.0, -1.0)
+
+        piv = a[..., k, k]
+        sign = sign * jnp.sign(piv)
+        logabs = logabs + jnp.log(jnp.abs(piv))
+        inv_piv = 1.0 / piv
+        factor = a[..., :, k] * inv_piv[..., None]
+        factor = factor * (1.0 - sel_k)
+        a = a - factor[..., :, None] * a[..., k, :][..., None, :]
+    return sign, logabs

@@ -181,3 +181,27 @@ def test_imperfection_unfolds_pitchfork_into_detected_fold():
     # z-plane pitchfork at (EI_z/EI_y) * lam_c, zero left-null coupling.
     assert abs(branches[0].lam - 1.3 * lam_c) < 1e-3 * lam_c
     assert branches[0].coupling < 1e-6
+
+
+def test_batched_walk_detsign_monitor_brackets_buckling():
+    """Device-side stability monitors in the batched Riks scan: walking the
+    trivial branch of the anisotropic compressed column, det(J) flips sign
+    exactly at the (simple) buckling eigenvalue — the bracketing segment of
+    the monitored batched path must contain the pencil prediction."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16),
+                                 stiffness=(1.0, 1.0, 1.3))
+    lam_c = bifurcation.linearized_buckling_loads(AXIAL, cfg=cfg)
+    lam_c = float(lam_c[lam_c > 0][0])
+    load_refs = np.asarray([AXIAL, AXIAL], np.float32)   # 2-sample batch
+    walk = cosserat.arc_length_continuation_batched(
+        load_refs, cfg=cfg, ds=0.35, steps=9, tol=1e-4, iters=16,
+        interpret=True, monitor_stability=True)
+    assert np.asarray(walk.converged).all()
+    signs = np.asarray(walk.det_sign)                     # (steps, B)
+    lams = np.asarray(walk.lambdas)
+    for s in range(2):
+        flips = np.nonzero(np.diff(signs[:, s]) != 0)[0]
+        assert flips.size == 1, signs[:, s]
+        k = flips[0]
+        assert lams[k, s] < lam_c < lams[k + 1, s]
+    assert np.isfinite(np.asarray(walk.log_abs_det)).all()

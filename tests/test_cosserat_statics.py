@@ -470,3 +470,16 @@ def test_dd_residual_newton_under_gravity_hits_1e9():
         jnp.asarray(qe64), jnp.asarray(loads, jnp.float64)[:, None, :],
         jnp.zeros(3, jnp.float64), cfg, iters=48)
     assert float(jnp.max(jnp.abs(res))) < 1e-9
+
+
+def test_det_sign_logabs_matches_numpy():
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import (
+        smallsolve,
+    )
+
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal((64, 7, 7))
+    sign, logabs = smallsolve.det_sign_logabs(jnp.asarray(a))
+    s_ref, l_ref = np.linalg.slogdet(a)
+    np.testing.assert_allclose(np.asarray(sign), s_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(logabs), l_ref, rtol=1e-10)
