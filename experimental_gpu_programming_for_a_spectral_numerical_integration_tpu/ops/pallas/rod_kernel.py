@@ -530,7 +530,19 @@ def rod_shape_fused_bc(qes, q_init, r_init,
 
 # ---------------------------------------------------------------------------
 # WIDE layout (32 < n-1 < 128): points on lanes, (comp, rod) on sublanes.
+# PAIRED sub-variant (n-1 <= 64): TWO rods share the 128 lanes (rod A on
+# lanes [0, 64), rod B on [64, 128)) with block-diagonal spectral operators
+# — 64 rods ride every 128x128 MXU pass instead of 32, doubling MAC
+# utilization exactly where the plain wide layout wastes half its lanes
+# (ROADMAP 'wide-layout MAC efficiency', realized as lane-folding).
 # ---------------------------------------------------------------------------
+
+WIDE_PAIR_HALF = 64      # lanes per rod in the paired layout
+WIDE_PAIR_RODS = 2 * WIDE_RODS
+
+
+def _is_paired(npts: int) -> bool:
+    return 32 < npts <= WIDE_PAIR_HALF
 
 def _wide_strains(mm, qe_ref, ptabT_ref, ne, na):
     """``xi_a = qe_a @ P~^T`` -> na arrays of (WIDE_RODS, WIDE_P_PAD).
@@ -722,6 +734,8 @@ def _wide_call(kernel, cfg, b_pad, extra_in, n_out, interpret):
 
 
 def _rod_shape_fused_wide(qes, cfg, iters, precision, interpret):
+    if _is_paired(cfg.grid.num_unknown):
+        return _rod_shape_fused_pair(qes, cfg, iters, precision, interpret)
     qes, b, b_pad, npts = _prepare_wide(qes, cfg)
     p_pad = WIDE_P_PAD
     _, _, g_rhs, _, _ = _wide_constants(cfg)
@@ -742,6 +756,9 @@ def _rod_shape_fused_wide(qes, cfg, iters, precision, interpret):
 
 def _rod_shape_fused_bc_wide(qes, q_init, r_init, cfg, iters, precision,
                              interpret):
+    if _is_paired(cfg.grid.num_unknown):
+        return _rod_shape_fused_bc_pair(qes, q_init, r_init, cfg, iters,
+                                        precision, interpret)
     qes, b, b_pad, npts = _prepare_wide(qes, cfg)
     p_pad = WIDE_P_PAD
     _, _, _, din, gdin = _wide_constants(cfg)
@@ -771,6 +788,9 @@ def _rod_shape_fused_bc_wide(qes, q_init, r_init, cfg, iters, precision,
 
 
 def _picard_correction_fused_wide(qes, rhs, cfg, iters, precision, interpret):
+    if _is_paired(cfg.grid.num_unknown):
+        return _picard_correction_fused_pair(qes, rhs, cfg, iters, precision,
+                                             interpret)
     qes, b, b_pad, npts = _prepare_wide(qes, cfg)
     p_pad = WIDE_P_PAD
     rhs_packed = pack_state_wide(jnp.asarray(rhs, jnp.float32))
@@ -786,3 +806,263 @@ def _picard_correction_fused_wide(qes, rhs, cfg, iters, precision, interpret):
         n_out=1, interpret=interpret)
     x_out = call(qes, *args)
     return unpack_state_wide(x_out, b, npts, 4)
+
+
+# --- paired-wide implementation -------------------------------------------
+
+def _pair_strains(mm, qe_ref, ptab_a_ref, ptab_b_ref, ne, na):
+    """Strains in the paired layout: rod A's modes hit the lanes-[0,64)
+    half of the transposed table, rod B's the [64,128) half — the lane
+    split makes each ``k_a`` a sum of two disjoint-support matmuls.
+
+    ``qe_ref (32, 2 nq)``: columns ``[qe_A (nq) ; qe_B (nq)]``.
+    """
+    nq = na * ne
+    out = []
+    for a in range(na):
+        ka = mm(qe_ref[:, a * ne:(a + 1) * ne], ptab_a_ref[:, :])
+        kb = mm(qe_ref[:, nq + a * ne:nq + (a + 1) * ne], ptab_b_ref[:, :])
+        out.append(ka + kb)
+    return out
+
+
+def _kernel_pair(qe_ref, wt_ref, ptab_a_ref, ptab_b_ref, g_rhs_ref,
+                 q_out_ref, r_out_ref, *, iters, ne, precision, na):
+    mm = _make_mm(precision)
+    k = _pair_strains(mm, qe_ref, ptab_a_ref, ptab_b_ref, ne, na)
+    a_apply = _wide_a_apply(k)
+    wt = wt_ref[:, :]                 # (128, 128) block-diag (G~/2)^T x2
+    g_rhs = g_rhs_ref[:, :]
+
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(a_apply(s), wt)
+    q_out_ref[0, :, :] = s
+    r_out_ref[0, :, :] = mm(_wide_tangent(s, k, na), wt)
+
+
+def _kernel_pair_bc(qe_ref, wt_ref, ptab_a_ref, ptab_b_ref, din_a_ref,
+                    din_b_ref, gdin_a_ref, gdin_b_ref, q0_ref, r0_ref,
+                    q_out_ref, r_out_ref, *, iters, ne, precision, na):
+    """Paired layout with per-rod boundary conditions: rhs rows are the sum
+    of the two half-lane outer products (disjoint support)."""
+    mm = _make_mm(precision)
+    k = _pair_strains(mm, qe_ref, ptab_a_ref, ptab_b_ref, ne, na)
+    a_apply = _wide_a_apply(k)
+    wt = wt_ref[:, :]
+    din_a, din_b = din_a_ref[:, :], din_b_ref[:, :]       # (1, 128) halves
+    gdin_a, gdin_b = gdin_a_ref[:, :], gdin_b_ref[:, :]
+
+    def outer(vec_ref, row_a, row_b, scale):
+        # vec_ref (32, 8): [vec_A (4) ; vec_B (4)]
+        return jnp.concatenate([
+            scale * (vec_ref[:, c:c + 1] * row_a
+                     + vec_ref[:, 4 + c:5 + c] * row_b)
+            for c in range(4)
+        ], axis=0)                                        # (128, 128)
+
+    g_rhs = mm(outer(q0_ref, din_a, din_b, -2.0), wt)
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(a_apply(s), wt)
+    q_out_ref[0, :, :] = s
+    r_out_ref[0, :, :] = (mm(_wide_tangent(s, k, na), wt)
+                          + outer(r0_ref, gdin_a, gdin_b, -1.0))
+
+
+def _corr_kernel_pair(qe_ref, wt_ref, ptab_a_ref, ptab_b_ref, rhs_ref,
+                      x_out_ref, *, iters, ne, precision, na):
+    mm = _make_mm(precision)
+    k = _pair_strains(mm, qe_ref, ptab_a_ref, ptab_b_ref, ne, na)
+    a_apply = _wide_a_apply(k)
+    wt = wt_ref[:, :]
+    g_rhs = mm(2.0 * rhs_ref[0, :, :], wt)
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(a_apply(s), wt)
+    x_out_ref[0, :, :] = s
+
+
+def pack_state_pair(x, p_half: int = WIDE_PAIR_HALF):
+    """``(B, npts, comp<=4) -> (nb, 128, 128)`` paired packing: rod ``i``
+    of a 64-rod block sits at sublane ``comp*32 + i%32``, lanes
+    ``(i//32)*64 + point``."""
+    b, npts, comp = x.shape
+    b_pad = -(-b // WIDE_PAIR_RODS) * WIDE_PAIR_RODS
+    x = jnp.pad(x, ((0, b_pad - b), (0, p_half - npts), (0, 4 - comp)))
+    nb = b_pad // WIDE_PAIR_RODS
+    t = x.reshape(nb, 2, WIDE_RODS, p_half, 4)
+    t = jnp.transpose(t, (0, 4, 2, 1, 3))    # (nb, comp, rod32, half, pt)
+    return t.reshape(nb, 4 * WIDE_RODS, 2 * p_half)
+
+
+def unpack_state_pair(packed, b: int, npts: int, comp: int,
+                      p_half: int = WIDE_PAIR_HALF):
+    """Inverse of :func:`pack_state_pair`."""
+    nb = packed.shape[0]
+    t = packed.reshape(nb, 4, WIDE_RODS, 2, p_half)
+    t = jnp.transpose(t, (0, 3, 2, 4, 1))    # (nb, half, rod32, pt, comp)
+    t = t.reshape(nb * WIDE_PAIR_RODS, p_half, 4)
+    return t[:b, :npts, :comp]
+
+
+def _pair_qes(qes, nb, nq):
+    """``(nb*64, cols) -> (nb*32, 2*cols)``: rod r's columns beside rod
+    (r+32)'s."""
+    cols = qes.shape[1]
+    t = qes.reshape(nb, 2, WIDE_RODS, cols)
+    t = jnp.transpose(t, (0, 2, 1, 3))
+    return t.reshape(nb * WIDE_RODS, 2 * cols)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_constants(cfg: rod_model.RodConfig):
+    grid = cfg.grid
+    npts = grid.num_unknown
+    p_half = WIDE_PAIR_HALF
+    g_pad = np.zeros((p_half, p_half))
+    g_pad[:npts, :npts] = grid.ginv
+    half_wt = (0.5 * g_pad).T
+    wt = np.zeros((2 * p_half, 2 * p_half))
+    wt[:p_half, :p_half] = half_wt
+    wt[p_half:, p_half:] = half_wt
+    wt = wt.astype(np.float32)
+
+    ptab_a = np.zeros((cfg.ne, 2 * p_half), np.float32)
+    ptab_a[:, :npts] = cfg.basis_table.astype(np.float32).T
+    ptab_b = np.zeros((cfg.ne, 2 * p_half), np.float32)
+    ptab_b[:, p_half:p_half + npts] = cfg.basis_table.astype(np.float32).T
+
+    gvec = -(grid.ginv @ grid.dn_in)
+    g_rhs = np.zeros((4 * WIDE_RODS, 2 * p_half), np.float32)
+    g_rhs[:WIDE_RODS, :npts] = gvec[None, :]
+    g_rhs[:WIDE_RODS, p_half:p_half + npts] = gvec[None, :]
+
+    def halves(vec):
+        a = np.zeros((1, 2 * p_half), np.float32)
+        a[0, :npts] = vec
+        bb = np.zeros((1, 2 * p_half), np.float32)
+        bb[0, p_half:p_half + npts] = vec
+        return a, bb
+
+    din_a, din_b = halves(grid.dn_in)
+    gdin_a, gdin_b = halves(grid.ginv @ grid.dn_in)
+    return wt, ptab_a, ptab_b, g_rhs, din_a, din_b, gdin_a, gdin_b
+
+
+def _prepare_pair(qes, cfg):
+    qes = jnp.asarray(qes, jnp.float32)
+    b = qes.shape[0]
+    if b == 0:
+        raise ValueError("fused kernels need a non-empty batch (got B=0)")
+    npts = cfg.grid.num_unknown
+    b_pad = -(-b // WIDE_PAIR_RODS) * WIDE_PAIR_RODS
+    if b_pad != b:
+        qes = jnp.pad(qes, ((0, b_pad - b), (0, 0)))
+    return qes, b, b_pad, npts
+
+
+def _pair_call(kernel, cfg, b_pad, extra_in, n_out, interpret):
+    nb = b_pad // WIDE_PAIR_RODS
+    lanes = 2 * WIDE_PAIR_HALF
+    wt, ptab_a, ptab_b, *_ = _pair_constants(cfg)
+    nq = cfg.na * cfg.ne
+    in_specs = [
+        pl.BlockSpec((WIDE_RODS, 2 * nq), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((lanes, lanes), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.ne, lanes), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cfg.ne, lanes), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [spec for spec, _ in extra_in]
+    args = [jnp.asarray(wt), jnp.asarray(ptab_a), jnp.asarray(ptab_b)] + \
+        [a for _, a in extra_in]
+    out_spec = pl.BlockSpec((1, 4 * WIDE_RODS, lanes), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nb, 4 * WIDE_RODS, lanes), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * n_out if n_out > 1 else out_spec,
+        out_shape=(out_shape,) * n_out if n_out > 1 else out_shape,
+        interpret=interpret,
+    ), args
+
+
+def _rod_shape_fused_pair(qes, cfg, iters, precision, interpret):
+    qes, b, b_pad, npts = _prepare_pair(qes, cfg)
+    nb = b_pad // WIDE_PAIR_RODS
+    nq = cfg.na * cfg.ne
+    qes2 = _pair_qes(qes, nb, nq)
+    _, _, _, g_rhs, *_ = _pair_constants(cfg)
+    kernel = functools.partial(
+        _kernel_pair, iters=iters, ne=cfg.ne, na=cfg.na,
+        precision=_PRECISIONS[precision],
+    )
+    call, args = _pair_call(
+        kernel, cfg, b_pad,
+        extra_in=[(pl.BlockSpec((4 * WIDE_RODS, 2 * WIDE_PAIR_HALF),
+                                lambda i: (0, 0), memory_space=pltpu.VMEM),
+                   jnp.asarray(g_rhs))],
+        n_out=2, interpret=interpret)
+    q_out, r_out = call(qes2, *args)
+    return (unpack_state_pair(q_out, b, npts, 4),
+            unpack_state_pair(r_out, b, npts, 3))
+
+
+def _rod_shape_fused_bc_pair(qes, q_init, r_init, cfg, iters, precision,
+                             interpret):
+    qes, b, b_pad, npts = _prepare_pair(qes, cfg)
+    nb = b_pad // WIDE_PAIR_RODS
+    nq = cfg.na * cfg.ne
+    qes2 = _pair_qes(qes, nb, nq)
+    _, _, _, _, din_a, din_b, gdin_a, gdin_b = _pair_constants(cfg)
+
+    def pair4(v):
+        v = jnp.asarray(v, jnp.float32)
+        v = jnp.pad(v, ((0, b_pad - v.shape[0]), (0, 4 - v.shape[1])))
+        return _pair_qes(v, nb, 4)                  # (nb*32, 8)
+
+    kernel = functools.partial(
+        _kernel_pair_bc, iters=iters, ne=cfg.ne, na=cfg.na,
+        precision=_PRECISIONS[precision],
+    )
+    row_spec = pl.BlockSpec((1, 2 * WIDE_PAIR_HALF), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    rod_spec = pl.BlockSpec((WIDE_RODS, 8), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    call, args = _pair_call(
+        kernel, cfg, b_pad,
+        extra_in=[(row_spec, jnp.asarray(din_a)),
+                  (row_spec, jnp.asarray(din_b)),
+                  (row_spec, jnp.asarray(gdin_a)),
+                  (row_spec, jnp.asarray(gdin_b)),
+                  (rod_spec, pair4(q_init)),
+                  (rod_spec, pair4(r_init))],
+        n_out=2, interpret=interpret)
+    q_out, r_out = call(qes2, *args)
+    return (unpack_state_pair(q_out, b, npts, 4),
+            unpack_state_pair(r_out, b, npts, 3))
+
+
+def _picard_correction_fused_pair(qes, rhs, cfg, iters, precision, interpret):
+    qes, b, b_pad, npts = _prepare_pair(qes, cfg)
+    nb = b_pad // WIDE_PAIR_RODS
+    nq = cfg.na * cfg.ne
+    qes2 = _pair_qes(qes, nb, nq)
+    rhs_packed = pack_state_pair(jnp.asarray(rhs, jnp.float32))
+    kernel = functools.partial(
+        _corr_kernel_pair, iters=iters, ne=cfg.ne, na=cfg.na,
+        precision=_PRECISIONS[precision],
+    )
+    call, args = _pair_call(
+        kernel, cfg, b_pad,
+        extra_in=[(pl.BlockSpec((1, 4 * WIDE_RODS, 2 * WIDE_PAIR_HALF),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM), rhs_packed)],
+        n_out=1, interpret=interpret)
+    x_out = call(qes2, *args)
+    return unpack_state_pair(x_out, b, npts, 4)

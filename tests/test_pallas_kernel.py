@@ -203,3 +203,49 @@ class TestWideLayout:
                                              max_iter=12, iters=16,
                                              interpret=True)
         assert np.asarray(sol.converged).all()
+
+
+def test_paired_wide_layout_parity_n64():
+    """ROADMAP 'wide-layout MAC efficiency': grids with 32 < n-1 <= 64 fold
+    TWO rods per 128 lanes with block-diagonal operators (64 rods per MXU
+    pass).  Parity vs the XLA picard path for base, BC, and correction
+    kernels at a ragged batch size."""
+    cfg = rod.RodConfig(n=64)
+    rng = np.random.default_rng(3)
+    qes = jnp.asarray(0.6 * rng.standard_normal((70, 9)), jnp.float32)
+    q, r = rod_kernel.rod_shape_fused(qes, cfg=cfg, iters=24, interpret=True)
+    ref = rod.rod_shape(qes, cfg=cfg, method="picard", iters=24)
+    assert float(jnp.max(jnp.abs(q - ref.quaternions.astype(jnp.float32)))) \
+        < 2e-5
+    assert float(jnp.max(jnp.abs(r - ref.positions.astype(jnp.float32)))) \
+        < 2e-5
+
+    q0 = jnp.asarray(rng.standard_normal((70, 4)), jnp.float32)
+    q0 = q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
+    r0 = jnp.asarray(rng.standard_normal((70, 3)), jnp.float32)
+    qb, rb = rod_kernel.rod_shape_fused_bc(qes, q0, r0, cfg=cfg, iters=24,
+                                           interpret=True)
+    refb = rod.rod_shape(qes, q_init=q0, r_init=r0, cfg=cfg,
+                         method="picard", iters=24)
+    assert float(jnp.max(jnp.abs(qb - refb.quaternions.astype(jnp.float32)))) \
+        < 1e-4
+    assert float(jnp.max(jnp.abs(rb - refb.positions.astype(jnp.float32)))) \
+        < 1e-4
+
+    # correction vs per-sample dense solves
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import (
+        collocation as coll,
+        lie,
+    )
+
+    rhs = jnp.asarray(0.1 * rng.standard_normal((5, 63, 4)), jnp.float32)
+    x = np.asarray(rod_kernel.picard_correction_fused(
+        qes[:5], rhs, cfg=cfg, iters=24, interpret=True), np.float64)
+    k = np.asarray(rod.curvature_at_points(cfg, jnp.asarray(qes[:5],
+                                                            jnp.float64)))
+    for i in range(5):
+        m_blocks = 0.5 * np.asarray(lie.quat_skew(jnp.asarray(k[i])))
+        a_nn = np.asarray(coll.collocation_matrix(cfg.grid, m_blocks))
+        r_cm = np.asarray(rhs[i], np.float64).T.reshape(-1)
+        x_ref = np.linalg.solve(a_nn, r_cm).reshape(4, 63).T
+        assert np.abs(x[i] - x_ref).max() < 1e-5
