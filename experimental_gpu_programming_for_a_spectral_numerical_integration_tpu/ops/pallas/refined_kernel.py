@@ -461,6 +461,10 @@ def _wide_refined_constants(cfg: rod_model.RodConfig):
 
 def _rod_shape_refined_kernel_wide(qes, qes_lo, cfg, iters, corr_iters,
                                    interpret, check_rho):
+    if rk._is_paired(cfg.grid.num_unknown):
+        return _rod_shape_refined_kernel_pair(qes, qes_lo, cfg, iters,
+                                              corr_iters, interpret,
+                                              check_rho)
     if cfg.na != 3:
         raise ValueError("refined kernel: na=3 only (Kirchhoff strains); "
                          "use rod_shape(method='refined') for na=6")
@@ -536,6 +540,10 @@ def _wide_bc_constants(cfg: rod_model.RodConfig):
 def _rod_shape_refined_kernel_bc_wide(qes, q_init, r_init, qes_lo,
                                       q_init_lo, r_init_lo, cfg, iters,
                                       corr_iters, interpret, check_rho):
+    if rk._is_paired(cfg.grid.num_unknown):
+        return _rod_shape_refined_kernel_bc_pair(
+            qes, q_init, r_init, qes_lo, q_init_lo, r_init_lo, cfg, iters,
+            corr_iters, interpret, check_rho)
     if cfg.na != 3:
         raise ValueError("refined kernel: na=3 only (Kirchhoff strains)")
     qes, b, b_pad, npts = rk._prepare_wide(qes, cfg)
@@ -861,4 +869,399 @@ def rod_shape_refined_kernel(qes, qes_lo=None,
       jnp.asarray(wd_planes), jnp.asarray(wg_planes))
 
     up = lambda o, c: rk.unpack_state(o, b, npts, c, tile, p_pad, rpc)
+    return up(q_hi, 4), up(q_lo, 4), up(r_hi, 3), up(r_lo, 3)
+
+
+# --- PAIRED-wide refined (32 < n-1 <= 64): two rods per 128 lanes ----------
+
+def _kernel_pair_refined(qe_ref, wt_ref, pha_ref, pla_ref, phb_ref, plb_ref,
+                         *rest, iters, corr_iters, ne, wdt_exp, wgt_exp,
+                         rho2_limit, bc=False):
+    """Paired-lane variant of :func:`_kernel_wide_refined`: rod A on lanes
+    [0, 64), rod B on [64, 128), block-diagonal operators (incl. the int8
+    planes) — 64 accuracy-grade rods per MXU pass.  The dd strain outer
+    products stay exact because the two halves have disjoint lane support
+    (each lane receives exactly one contribution)."""
+    from .. import doubledouble as dd
+    from .. import ozaki as _oz
+
+    if bc:
+        (din_a_hi_ref, din_a_lo_ref, din_b_hi_ref, din_b_lo_ref,
+         gdin_a_hi_ref, gdin_a_lo_ref, gdin_b_hi_ref, gdin_b_lo_ref,
+         q0_ref, r0_ref, wdt_planes_ref, wgt_planes_ref,
+         q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref) = rest
+    else:
+        (g_rhs_ref, rhs_hi_ref, rhs_lo_ref, wdt_planes_ref, wgt_planes_ref,
+         q_hi_ref, q_lo_ref, r_hi_ref, r_lo_ref) = rest
+
+    mm = rk._make_mm("high")
+    r_cnt = rk.WIDE_RODS
+    half_lanes = rk.WIDE_PAIR_HALF
+    nq = 3 * ne
+
+    # dd strains K/2: per mode, EFT outer products per lane-half, exact sum.
+    pha, pla = pha_ref[:, :], pla_ref[:, :]       # (ne, 128) A-half tables
+    phb, plb = phb_ref[:, :], plb_ref[:, :]
+    k_hi, k_lo = [], []
+    for a in range(3):
+        acc_h = acc_l = None
+        for e in range(ne):
+            ca_h = qe_ref[:, a * ne + e:a * ne + e + 1]
+            ca_l = qe_ref[:, nq + a * ne + e:nq + a * ne + e + 1]
+            cb_h = qe_ref[:, 2 * nq + a * ne + e:2 * nq + a * ne + e + 1]
+            cb_l = qe_ref[:, 3 * nq + a * ne + e:3 * nq + a * ne + e + 1]
+            pa_h, pa_e = dd.two_prod(ca_h, pha[e:e + 1, :])
+            pa_e = pa_e + ca_l * pha[e:e + 1, :] + ca_h * pla[e:e + 1, :]
+            pb_h, pb_e = dd.two_prod(cb_h, phb[e:e + 1, :])
+            pb_e = pb_e + cb_l * phb[e:e + 1, :] + cb_h * plb[e:e + 1, :]
+            ph = pa_h + pb_h          # disjoint lane support: exact
+            pe = pa_e + pb_e
+            if acc_h is None:
+                acc_h, acc_l = ph, pe
+            else:
+                acc_h, acc_l = dd.dd_add(acc_h, acc_l, ph, pe)
+        k_hi.append(acc_h)
+        k_lo.append(acc_l)
+    a_apply = rk._wide_a_apply(k_hi)
+
+    wt = wt_ref[:, :]                 # (128, 128) block-diag FULL G~^T
+    if bc:
+        din = [(din_a_hi_ref[:, :], din_a_lo_ref[:, :]),
+               (din_b_hi_ref[:, :], din_b_lo_ref[:, :])]
+        rb_hi, rb_lo = [], []
+        for c in range(4):
+            ph = pl_ = None
+            for hlf, off in ((0, 0), (1, 8)):
+                col_h = q0_ref[:, off + c:off + c + 1]
+                col_l = q0_ref[:, off + 4 + c:off + 5 + c]
+                hh, ll = dd.dd_mul(col_h, col_l, *din[hlf])
+                ph = hh if ph is None else ph + hh      # disjoint lanes
+                pl_ = ll if pl_ is None else pl_ + ll
+            rb_hi.append(-ph)
+            rb_lo.append(-pl_)
+        rhs_hi = jnp.concatenate(rb_hi, axis=0)
+        rhs_lo = jnp.concatenate(rb_lo, axis=0)
+        g_rhs = mm(rhs_hi, wt)
+    else:
+        rhs_hi = rhs_hi_ref[:, :]
+        rhs_lo = rhs_lo_ref[:, :]
+        g_rhs = g_rhs_ref[:, :]
+
+    # stage 1: f32 Picard
+    s = g_rhs
+    for _ in range(iters):
+        s = g_rhs + mm(a_apply(s), wt)
+
+    # Per-rod sentinel, PER LANE-HALF (rods A and B share sublanes).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * half_lanes), 1)
+    in_a = (lane < half_lanes).astype(jnp.float32)
+    in_b = 1.0 - in_a
+
+    def half_max(arr):
+        return (jnp.max(arr * in_a, axis=1, keepdims=True),
+                jnp.max(arr * in_b, axis=1, keepdims=True))
+
+    comp_abs = jnp.maximum(
+        jnp.maximum(jnp.abs(rk._wide_comp(s, 0)), jnp.abs(rk._wide_comp(s, 1))),
+        jnp.maximum(jnp.abs(rk._wide_comp(s, 2)), jnp.abs(rk._wide_comp(s, 3))),
+    )
+    mx_a, mx_b = half_max(comp_abs)
+    bad_a = mx_a >= 3.96
+    bad_b = mx_b >= 3.96
+    if rho2_limit is not None:
+        k0, k1, k2 = k_hi
+        ss = k0 * k0 + k1 * k1 + k2 * k2
+        ss_a, ss_b = half_max(ss)
+        bad_a = bad_a | (ss_a > rho2_limit)
+        bad_b = bad_b | (ss_b > rho2_limit)
+
+    # stage 2: exact residual (block-diag planes)
+    dn_s_hi, dn_s_lo = _oz.matmul_dd_right(s, None, 2,
+                                           wdt_planes_ref[:, :, :], wdt_exp)
+    sw, sx, sy, sz = (rk._wide_comp(s, c) for c in range(4))
+
+    def prod(khh, khl, sv):
+        ph, pe = dd.two_prod(khh, sv)
+        return ph, pe + khl * sv
+
+    def comb(s0, t0, s1, t1, s2, t2):
+        h0, l0 = dd.dd_scale(*t0, s0)
+        h0, l0 = dd.dd_add(h0, l0, *dd.dd_scale(*t1, s1))
+        return dd.dd_add(h0, l0, *dd.dd_scale(*t2, s2))
+
+    k0h, k1h, k2h = k_hi
+    k0l, k1l, k2l = k_lo
+    rows = [
+        comb(-1.0, prod(k0h, k0l, sx), -1.0, prod(k1h, k1l, sy),
+             -1.0, prod(k2h, k2l, sz)),
+        comb(+1.0, prod(k0h, k0l, sw), +1.0, prod(k2h, k2l, sy),
+             -1.0, prod(k1h, k1l, sz)),
+        comb(+1.0, prod(k1h, k1l, sw), -1.0, prod(k2h, k2l, sx),
+             +1.0, prod(k0h, k0l, sz)),
+        comb(+1.0, prod(k2h, k2l, sw), +1.0, prod(k1h, k1l, sx),
+             -1.0, prod(k0h, k0l, sy)),
+    ]
+    ak_hi = jnp.concatenate([r[0] for r in rows], axis=0)
+    ak_lo = jnp.concatenate([r[1] for r in rows], axis=0)
+    rr_hi, rr_lo = dd.dd_add(rhs_hi, rhs_lo, -dn_s_hi, -dn_s_lo)
+    rr_hi, rr_lo = dd.dd_add(rr_hi, rr_lo, ak_hi, ak_lo)
+
+    # stage 3: correction + dd combine
+    res = rr_hi + rr_lo
+    g_res = mm(res, wt)
+    delta = g_res
+    for _ in range(corr_iters):
+        delta = g_res + mm(a_apply(delta), wt)
+    x_hi, x_lo = dd.two_sum(s, delta)
+
+    # stage 4: dd tangent
+    xw_h, xx_h, xy_h, xz_h = (rk._wide_comp(x_hi, c) for c in range(4))
+    xw_l, xx_l, xy_l, xz_l = (rk._wide_comp(x_lo, c) for c in range(4))
+    yy = dd.dd_mul(xy_h, xy_l, xy_h, xy_l)
+    zz = dd.dd_mul(xz_h, xz_l, xz_h, xz_l)
+    xy = dd.dd_mul(xx_h, xx_l, xy_h, xy_l)
+    wz = dd.dd_mul(xw_h, xw_l, xz_h, xz_l)
+    xz = dd.dd_mul(xx_h, xx_l, xz_h, xz_l)
+    wy = dd.dd_mul(xw_h, xw_l, xy_h, xy_l)
+    one2 = jnp.full_like(xw_h, 2.0)
+    t0 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -4.0), one2)
+    t1 = dd.dd_scale(*dd.dd_add(*xy, *wz), 4.0)
+    t2 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 4.0)
+    zero = jnp.zeros_like(xw_h)
+    b_hi = jnp.concatenate([t0[0], t1[0], t2[0], zero], axis=0)
+    b_lo = jnp.concatenate([t0[1], t1[1], t2[1], zero], axis=0)
+
+    # stage 5: dd position
+    pos_hi, pos_lo = _oz.matmul_dd_right(b_hi, b_lo, 3,
+                                         wgt_planes_ref[:, :, :], wgt_exp,
+                                         pair_budget=5)
+    if bc:
+        gdin = [(gdin_a_hi_ref[:, :], gdin_a_lo_ref[:, :]),
+                (gdin_b_hi_ref[:, :], gdin_b_lo_ref[:, :])]
+        eb_hi, eb_lo = [], []
+        for c in range(4):
+            ph = pl_ = None
+            for hlf, off in ((0, 0), (1, 8)):
+                col_h = r0_ref[:, off + c:off + c + 1]
+                col_l = r0_ref[:, off + 4 + c:off + 5 + c]
+                hh, ll = dd.dd_mul(col_h, col_l, *gdin[hlf])
+                ph = hh if ph is None else ph + hh
+                pl_ = ll if pl_ is None else pl_ + ll
+            eb_hi.append(-ph)
+            eb_lo.append(-pl_)
+        pos_hi, pos_lo = dd.dd_add(pos_hi, pos_lo,
+                                   jnp.concatenate(eb_hi, axis=0),
+                                   jnp.concatenate(eb_lo, axis=0))
+
+    b_abs = jnp.maximum(
+        jnp.maximum(jnp.abs(rk._wide_comp(b_hi, 0)),
+                    jnp.abs(rk._wide_comp(b_hi, 1))),
+        jnp.abs(rk._wide_comp(b_hi, 2)),
+    )
+    bb_a, bb_b = half_max(b_abs)
+    bad_a = bad_a | (bb_a >= 7.92)
+    bad_b = bad_b | (bb_b >= 7.92)
+    bad = bad_a * in_a + bad_b * in_b              # (R, 128) lane mask
+    bad4 = jnp.concatenate([bad] * 4, axis=0) > 0
+    nan = jnp.float32(np.nan)
+    q_hi_ref[0, :, :] = jnp.where(bad4, nan, x_hi)
+    q_lo_ref[0, :, :] = jnp.where(bad4, nan, x_lo)
+    r_hi_ref[0, :, :] = jnp.where(bad4, nan, pos_hi)
+    r_lo_ref[0, :, :] = jnp.where(bad4, nan, pos_lo)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_refined_constants(cfg: rod_model.RodConfig):
+    grid = cfg.grid
+    npts = grid.num_unknown
+    p_half = rk.WIDE_PAIR_HALF
+    lanes = 2 * p_half
+    r_cnt = rk.WIDE_RODS
+
+    g_pad = np.zeros((p_half, p_half))
+    g_pad[:npts, :npts] = grid.ginv
+    wt = np.zeros((lanes, lanes))
+    wt[:p_half, :p_half] = g_pad.T
+    wt[p_half:, p_half:] = g_pad.T
+    wt = wt.astype(np.float32)
+
+    ptab64 = np.zeros((cfg.ne, lanes))
+    ptab64[:, :npts] = 0.5 * cfg.basis_table.T
+    pha = ptab64.astype(np.float32)
+    pla = (ptab64 - pha.astype(np.float64)).astype(np.float32)
+    ptab64b = np.zeros((cfg.ne, lanes))
+    ptab64b[:, p_half:p_half + npts] = 0.5 * cfg.basis_table.T
+    phb = ptab64b.astype(np.float32)
+    plb = (ptab64b - phb.astype(np.float64)).astype(np.float32)
+
+    rhs64 = np.zeros((4 * r_cnt, lanes))
+    rhs64[:r_cnt, :npts] = -grid.dn_in[None, :]
+    rhs64[:r_cnt, p_half:p_half + npts] = -grid.dn_in[None, :]
+    rhs_hi = rhs64.astype(np.float32)
+    rhs_lo = (rhs64 - rhs_hi.astype(np.float64)).astype(np.float32)
+    wt64 = np.zeros((lanes, lanes))
+    wt64[:p_half, :p_half] = g_pad.T
+    wt64[p_half:, p_half:] = g_pad.T
+    g_rhs = (rhs64 @ wt64).astype(np.float32)
+
+    d_pad = np.zeros((p_half, p_half))
+    d_pad[:npts, :npts] = grid.dn_nn
+    wdt = np.zeros((lanes, lanes))
+    wdt[:p_half, :p_half] = d_pad.T
+    wdt[p_half:, p_half:] = d_pad.T
+    wdt_planes, wdt_exp = ozaki.plane_decompose_const(wdt)
+    wgt = 0.5 * wt64
+    wgt_planes, wgt_exp = ozaki.plane_decompose_const(wgt)
+    return (wt, pha, pla, phb, plb, g_rhs, rhs_hi, rhs_lo,
+            wdt_planes, int(wdt_exp), wgt_planes, int(wgt_exp))
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_bc_constants(cfg: rod_model.RodConfig):
+    from .. import doubledouble as dd
+
+    grid = cfg.grid
+    npts = grid.num_unknown
+    p_half = rk.WIDE_PAIR_HALF
+    lanes = 2 * p_half
+
+    def halves(vec):
+        a = np.zeros((1, lanes))
+        a[0, :npts] = vec
+        b = np.zeros((1, lanes))
+        b[0, p_half:p_half + npts] = vec
+        return dd.split_f64(a) + dd.split_f64(b)
+
+    return halves(grid.dn_in) + halves(grid.ginv @ grid.dn_in)
+
+
+def _refined_pair_call(kernel, cfg, b_pad, qes2, extra_in, interpret):
+    nb = b_pad // rk.WIDE_PAIR_RODS
+    lanes = 2 * rk.WIDE_PAIR_HALF
+    (wt, pha, pla, phb, plb, *_ ) = _pair_refined_constants(cfg)
+    nq = cfg.na * cfg.ne
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((rk.WIDE_RODS, 4 * nq), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        const((lanes, lanes)),
+        const((cfg.ne, lanes)),
+        const((cfg.ne, lanes)),
+        const((cfg.ne, lanes)),
+        const((cfg.ne, lanes)),
+    ] + [spec for spec, _ in extra_in]
+    args = [qes2, jnp.asarray(wt), jnp.asarray(pha), jnp.asarray(pla),
+            jnp.asarray(phb), jnp.asarray(plb)] + [a for _, a in extra_in]
+    out_spec = pl.BlockSpec((1, 4 * rk.WIDE_RODS, lanes), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nb, 4 * rk.WIDE_RODS, lanes),
+                                     jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * 4,
+        out_shape=(out_shape,) * 4,
+        interpret=interpret,
+    )(*args)
+
+
+def _pair_dd_qes(qes, qes_lo, cfg):
+    """dd strain input -> paired kernel layout ``(nb*32, 4 nq)``."""
+    qes, b, b_pad, npts = rk._prepare_pair(qes, cfg)
+    if qes_lo is None:
+        qes_lo = jnp.zeros_like(qes)
+    else:
+        qes_lo = jnp.asarray(qes_lo, jnp.float32)
+        if qes_lo.shape[0] != b_pad:
+            qes_lo = jnp.pad(qes_lo, ((0, b_pad - qes_lo.shape[0]), (0, 0)))
+    nb = b_pad // rk.WIDE_PAIR_RODS
+    nq = cfg.na * cfg.ne
+    qes2 = rk._pair_qes(jnp.concatenate([qes, qes_lo], axis=1), nb, 2 * nq)
+    # _pair_qes gives [A_hi, A_lo, B_hi, B_lo] column order already (each
+    # rod's 2nq block kept together).
+    return qes2, b, b_pad, npts
+
+
+def _rod_shape_refined_kernel_pair(qes, qes_lo, cfg, iters, corr_iters,
+                                   interpret, check_rho):
+    if cfg.na != 3:
+        raise ValueError("refined kernel: na=3 only (Kirchhoff strains)")
+    qes2, b, b_pad, npts = _pair_dd_qes(qes, qes_lo, cfg)
+    (_, _, _, _, _, g_rhs, rhs_hi, rhs_lo,
+     wdt_planes, wdt_exp, wgt_planes, wgt_exp) = _pair_refined_constants(cfg)
+    kernel = functools.partial(
+        _kernel_pair_refined, iters=iters, corr_iters=corr_iters, ne=cfg.ne,
+        wdt_exp=wdt_exp, wgt_exp=wgt_exp,
+        rho2_limit=(None if check_rho is None
+                    else float((check_rho / cfg.length) ** 2)),
+    )
+    lanes = 2 * rk.WIDE_PAIR_HALF
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    q_hi, q_lo, r_hi, r_lo = _refined_pair_call(
+        kernel, cfg, b_pad, qes2,
+        extra_in=[
+            (const((4 * rk.WIDE_RODS, lanes)), jnp.asarray(g_rhs)),
+            (const((4 * rk.WIDE_RODS, lanes)), jnp.asarray(rhs_hi)),
+            (const((4 * rk.WIDE_RODS, lanes)), jnp.asarray(rhs_lo)),
+            (const((wdt_planes.shape[0], lanes, lanes)),
+             jnp.asarray(wdt_planes)),
+            (const((wgt_planes.shape[0], lanes, lanes)),
+             jnp.asarray(wgt_planes)),
+        ],
+        interpret=interpret)
+    up = lambda o, c: rk.unpack_state_pair(o, b, npts, c)
+    return up(q_hi, 4), up(q_lo, 4), up(r_hi, 3), up(r_lo, 3)
+
+
+def _rod_shape_refined_kernel_bc_pair(qes, q_init, r_init, qes_lo,
+                                      q_init_lo, r_init_lo, cfg, iters,
+                                      corr_iters, interpret, check_rho):
+    if cfg.na != 3:
+        raise ValueError("refined kernel: na=3 only (Kirchhoff strains)")
+    qes2, b, b_pad, npts = _pair_dd_qes(qes, qes_lo, cfg)
+    nb = b_pad // rk.WIDE_PAIR_RODS
+
+    def pack_pair_dd8(v_hi, v_lo):
+        v_hi = jnp.asarray(v_hi, jnp.float32)
+        v_lo = (jnp.zeros_like(v_hi) if v_lo is None
+                else jnp.asarray(v_lo, jnp.float32))
+        out = []
+        for v in (v_hi, v_lo):
+            out.append(jnp.pad(
+                v, ((0, b_pad - v.shape[0]), (0, 4 - v.shape[1]))))
+        return rk._pair_qes(jnp.concatenate(out, axis=1), nb, 8)
+
+    q0 = pack_pair_dd8(q_init, q_init_lo)             # (nb*32, 16)
+    r0 = pack_pair_dd8(r_init, r_init_lo)
+    (_, _, _, _, _, _, _, _,
+     wdt_planes, wdt_exp, wgt_planes, wgt_exp) = _pair_refined_constants(cfg)
+    bc_rows = _pair_bc_constants(cfg)
+    kernel = functools.partial(
+        _kernel_pair_refined, iters=iters, corr_iters=corr_iters, ne=cfg.ne,
+        wdt_exp=wdt_exp, wgt_exp=wgt_exp,
+        rho2_limit=(None if check_rho is None
+                    else float((check_rho / cfg.length) ** 2)),
+        bc=True,
+    )
+    lanes = 2 * rk.WIDE_PAIR_HALF
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    rod_spec = pl.BlockSpec((rk.WIDE_RODS, 16), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    q_hi, q_lo, r_hi, r_lo = _refined_pair_call(
+        kernel, cfg, b_pad, qes2,
+        extra_in=[(const((1, lanes)), jnp.asarray(row)) for row in bc_rows]
+        + [
+            (rod_spec, q0),
+            (rod_spec, r0),
+            (const((wdt_planes.shape[0], lanes, lanes)),
+             jnp.asarray(wdt_planes)),
+            (const((wgt_planes.shape[0], lanes, lanes)),
+             jnp.asarray(wgt_planes)),
+        ],
+        interpret=interpret)
+    up = lambda o, c: rk.unpack_state_pair(o, b, npts, c)
     return up(q_hi, 4), up(q_lo, 4), up(r_hi, 3), up(r_lo, 3)
