@@ -52,6 +52,7 @@ __all__ = [
     "total_energy",
     "accelerations",
     "simulate",
+    "simulate_implicit",
     "natural_frequencies",
 ]
 
@@ -202,13 +203,10 @@ def total_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16):
     return kinetic_energy(qe, qd, cfg, iters) + potential_energy(qe, cfg)
 
 
-def accelerations(qe, qd, cfg: DynamicsConfig, tip_force=None,
+def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
                   iters: int = 16):
-    """``qdd`` from the Euler-Lagrange equations, batched over leading axes.
-
-    ``M qdd = Q_ext - K_ee dqe - damping K_ee qd - (dM/dt) qd
-              + 1/2 grad(qd^T M qd)``.
-    """
+    """``(M(qe), rhs)`` of the Euler-Lagrange balance ``M qdd = rhs``
+    (damping excluded — see :func:`accelerations`)."""
     k = jnp.asarray(cfg.k_ee, qe.dtype)
     dqe = qe - jnp.asarray(cfg.kappa0_modes, qe.dtype)
     rhs = -jnp.einsum("ij,...j->...i", k, dqe, precision="highest")
@@ -240,7 +238,17 @@ def accelerations(qe, qd, cfg: DynamicsConfig, tip_force=None,
             return jnp.sum(jnp.einsum("j,...jc,c->...", w, r, g))
 
         rhs = rhs + jax.grad(grav_work)(qe)
+    return m, rhs
 
+
+def accelerations(qe, qd, cfg: DynamicsConfig, tip_force=None,
+                  iters: int = 16):
+    """``qdd`` from the Euler-Lagrange equations, batched over leading axes.
+
+    ``M qdd = Q_ext - K_ee dqe - (dM/dt) qd + 1/2 grad(qd^T M qd)``,
+    then mass-proportional damping ``qdd -= damping qd``.
+    """
+    m, rhs = _mass_and_rhs(qe, qd, cfg, tip_force, iters)
     qdd = smallsolve.gauss_jordan_solve(m, rhs)
     if cfg.damping:
         qdd = qdd - cfg.damping * qd
@@ -279,6 +287,87 @@ def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
 
     _, (qes, qds, energies) = jax.lax.scan(rk4, (qe0, qd0), None,
                                            length=steps)
+    times = dt * jnp.arange(1, steps + 1, dtype=qe0.dtype)
+    return Trajectory(times=times, qes=qes, qds=qds, energies=energies)
+
+
+def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
+                      tip_force=None, iters: int = 16,
+                      beta: float = 0.25, gamma: float = 0.5,
+                      tol: float = 1e-9, max_newton: int = 20,
+                      record_energy: bool = True) -> Trajectory:
+    """Newmark-beta time integration (implicit; default = trapezoidal /
+    average-acceleration, unconditionally stable for the linearized
+    system).
+
+    The explicit RK4 of :func:`simulate` is stability-throttled by the rod's
+    STIFFEST modes — the near-rigid torsion branch, whose frequencies scale
+    like ``sqrt(GJ / rho_i)`` and play no role in bending-dominated motion —
+    while the implicit step follows the SLOW dynamics at time steps set by
+    accuracy alone (50x+ larger in the gated tests).
+
+    Each step solves the nonlinear Newmark residual
+
+        r(q1) = M(q1) (a1(q1) + damping v1(q1)) - rhs(q1, v1(q1)) = 0,
+        a1 = (q1 - q0 - dt v0)/(beta dt^2) - (1/(2 beta) - 1) a0,
+        v1 = v0 + dt ((1 - gamma) a0 + gamma a1),
+
+    by Newton with exact ``jax.jacfwd`` Jacobians through the Lagrangian
+    assembly (implicit-function JVPs of the spectral solves inside) and the
+    TPU-native Gauss-Jordan.  jit/vmap-friendly (``lax.scan`` outer,
+    ``lax.while_loop`` inner).
+    """
+    qe0 = jnp.asarray(qe0)
+    qd0 = jnp.asarray(qd0, qe0.dtype)
+    a0 = accelerations(qe0, qd0, cfg, tip_force, iters)
+    inv_bdt2 = 1.0 / (beta * dt * dt)
+
+    def newmark_va(q1, q0, v0, acc0):
+        a1 = (q1 - q0 - dt * v0) * inv_bdt2 - (0.5 / beta - 1.0) * acc0
+        v1 = v0 + dt * ((1.0 - gamma) * acc0 + gamma * a1)
+        return v1, a1
+
+    def step_residual(q1, q0, v0, acc0):
+        v1, a1 = newmark_va(q1, q0, v0, acc0)
+        m, rhs = _mass_and_rhs(q1, v1, cfg, tip_force, iters)
+        lhs = a1 + (cfg.damping * v1 if cfg.damping else 0.0)
+        return jnp.einsum("...ij,...j->...i", m, lhs) - rhs
+
+    def newmark_step(carry, _):
+        q0, v0, acc0 = carry
+
+        def residual(q1):
+            return step_residual(q1, q0, v0, acc0)
+
+        # predictor: velocity extrapolation ONLY.  Adding the 1/2 dt^2 a0
+        # term helps at small dt but is catastrophic in the stiff regime
+        # this integrator exists for (omega dt >> 1: |a0| ~ omega^2 A
+        # throws the predictor beyond the Picard validity domain and
+        # Newton diverges); from q0 + dt v0 the solve is nearly linear in
+        # the stiff directions and converges quadratically.
+        q_pred = q0 + dt * v0
+
+        def cond(state):
+            q1, k, res = state
+            return jnp.logical_and(k < max_newton,
+                                   jnp.linalg.norm(res) > tol)
+
+        def body(state):
+            q1, k, res = state
+            jac = jax.jacfwd(residual)(q1)
+            q1 = q1 - smallsolve.gauss_jordan_solve(jac, res)
+            return q1, k + 1, residual(q1)
+
+        q1, _, _ = jax.lax.while_loop(
+            cond, body, (q_pred, jnp.zeros((), jnp.int32),
+                         residual(q_pred)))
+        v1, a1 = newmark_va(q1, q0, v0, acc0)
+        e = (total_energy(q1, v1, cfg, iters) if record_energy
+             else jnp.zeros(q1.shape[:-1], q1.dtype))
+        return (q1, v1, a1), (q1, v1, e)
+
+    _, (qes, qds, energies) = jax.lax.scan(newmark_step, (qe0, qd0, a0),
+                                           None, length=steps)
     times = dt * jnp.arange(1, steps + 1, dtype=qe0.dtype)
     return Trajectory(times=times, qes=qes, qds=qds, energies=energies)
 

@@ -100,3 +100,47 @@ def test_gravity_sag():
                                  max_iter=40)
     np.testing.assert_allclose(np.asarray(traj.qes[-1]), np.asarray(ref.qe),
                                atol=2e-4)
+
+
+def test_implicit_newmark_matches_rk4_in_stable_regime():
+    """Same trajectory from both integrators where RK4 is stable:
+    trapezoidal Newmark at dt vs RK4 at dt/4 agree to O(dt^2)."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2)
+    nq = 9
+    qe0 = jnp.zeros(nq, jnp.float64).at[4].set(0.3)
+    qd0 = jnp.zeros(nq, jnp.float64)
+    dt = 2e-3
+    imp = dynamics.simulate_implicit(qe0, qd0, cfg, dt=dt, steps=20,
+                                     tol=1e-11)
+    rk = dynamics.simulate(qe0, qd0, cfg, dt=dt / 4, steps=80)
+    np.testing.assert_allclose(np.asarray(imp.qes)[-1],
+                               np.asarray(rk.qes)[-1], atol=5e-4)
+    # trapezoid: bounded energy oscillation, no secular growth
+    e = np.asarray(imp.energies)
+    assert abs(e[-1] - e[0]) < 1e-3 * abs(e[0])
+
+
+def test_implicit_newmark_stable_far_beyond_rk4_limit():
+    """The stiff torsion branch throttles explicit RK4 (omega_max ~
+    sqrt(GJ/rho_i)); Newmark at 50x the RK4 stability step stays bounded
+    while RK4 at a fraction of that dt blows up."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-4)
+    w_max = float(dynamics.natural_frequencies(cfg).max())
+    dt_rk4 = 2.8 / w_max
+    nq = 9
+    qe0 = jnp.zeros(nq, jnp.float64).at[4].set(0.3)
+    # excite the stiff torsion branch too — unexcited modes only pick up
+    # instability through roundoff, far too slowly for a short gate
+    qd0 = jnp.zeros(nq, jnp.float64).at[0].set(0.1)
+
+    imp = dynamics.simulate_implicit(qe0, qd0, cfg, dt=50 * dt_rk4,
+                                     steps=25, tol=1e-10)
+    e = np.asarray(imp.energies)
+    assert np.isfinite(e).all()
+    assert e[-1] < 2.0 * e[0]                # bounded (no blow-up)
+
+    rk = dynamics.simulate(qe0, qd0, cfg, dt=8 * dt_rk4, steps=25)
+    e_rk = np.asarray(rk.energies)
+    assert (not np.isfinite(e_rk[-1])) or e_rk[-1] > 10.0 * e[0]
