@@ -57,6 +57,7 @@ __all__ = [
     "equilibrium_residual_dd",
     "residual_and_jacobian_fused",
     "solve_statics",
+    "solve_statics_differentiable",
     "solve_statics_batched",
     "arc_length_continuation",
     "arc_length_continuation_batched",
@@ -698,6 +699,56 @@ def solve_statics_batched(tip_force, tip_moment=None,
     return StaticsSolution(qe=qe, iterations=k, residual_norm=rnorm,
                            converged=rnorm <= tol,
                            qe_lo=qe_lo_out if dd_residual else None)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5))
+def solve_statics_differentiable(tip_force, tip_moment,
+                                 cfg: StaticsConfig = StaticsConfig(),
+                                 tol: float = 1e-9, max_iter: int = 30,
+                                 iters: int = 24):
+    """``(tip_force, tip_moment) -> qe*`` with exact load sensitivities.
+
+    :func:`solve_statics` runs Newton inside ``lax.while_loop`` — not
+    differentiable by JAX in either mode.  This wrapper attaches the
+    implicit-function rule at the SOLUTION instead of differentiating the
+    iteration:
+
+        dqe* = -J^{-1} (d res/d loads) dloads,   J = d res/d qe |_(qe*),
+
+    one linear solve per tangent (and transposable, so ``jax.grad`` through
+    functionals of the equilibrium works too — compliance, design
+    sensitivities, inverse statics).  Returns only ``qe*``; feed it to
+    ``rod.rod_shape`` for differentiable downstream kinematics.
+    """
+    sol = solve_statics(tip_force, tip_moment, cfg, tol=tol,
+                        max_iter=max_iter, iters=iters)
+    return sol.qe
+
+
+@solve_statics_differentiable.defjvp
+def _solve_statics_jvp(cfg, tol, max_iter, iters, primals, tangents):
+    tip_force, tip_moment = primals
+    d_force, d_moment = tangents
+    qe = solve_statics_differentiable(tip_force, tip_moment, cfg, tol,
+                                      max_iter, iters)
+
+    def res_qe(q):
+        return equilibrium_residual(q, tip_force, tip_moment, cfg, iters)
+
+    def res_loads(f, m):
+        return equilibrium_residual(qe, f, m, cfg, iters)
+
+    jac = jax.jacfwd(res_qe)(qe)
+    _, dres = jax.jvp(res_loads, (tip_force, tip_moment),
+                      (d_force, d_moment))
+    # Apply J^{-1} as a PRIMAL matrix times the tangent (solve against the
+    # identity first): the pivoted elimination itself is not transposable
+    # when its rhs carries tangents, a plain matmul is — so jax.grad works
+    # through this rule, not just jacfwd.
+    nq = qe.shape[-1]
+    jinv = smallsolve.gauss_jordan_solve(jac, jnp.eye(nq, dtype=qe.dtype))
+    dqe = -jnp.einsum("...ij,...j->...i", jinv, dres)
+    return qe, dqe
 
 
 class ContinuationPath(NamedTuple):

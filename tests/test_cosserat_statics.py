@@ -483,3 +483,32 @@ def test_det_sign_logabs_matches_numpy():
     s_ref, l_ref = np.linalg.slogdet(a)
     np.testing.assert_allclose(np.asarray(sign), s_ref, atol=1e-12)
     np.testing.assert_allclose(np.asarray(logabs), l_ref, rtol=1e-10)
+
+
+def test_solve_statics_differentiable_compliance():
+    """IFT sensitivities through the equilibrium: in the linear regime the
+    tip-deflection gradient d(tip_z)/d(F_z) equals the cantilever
+    compliance L^3/3EI; at finite load jax.grad matches central finite
+    differences of the full solve."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+
+    def tip_z(f):
+        qe = cosserat.solve_statics_differentiable(
+            f, jnp.zeros(3, jnp.float64), cfg, 1e-11, 40, 32)
+        sol = rod.rod_shape(qe, cfg=cfg.rod, method="picard", iters=32)
+        return sol.tip_position[2]
+
+    g = jax.grad(tip_z)(jnp.asarray([0.0, 0.0, 1e-6], jnp.float64))
+    np.testing.assert_allclose(float(g[2]), 1.0 / 3.0, rtol=1e-6)
+
+    f0 = jnp.asarray([0.1, 0.0, 0.8], jnp.float64)
+    g = np.asarray(jax.grad(tip_z)(f0))
+    eps = 1e-6
+    for c in range(3):
+        e = jnp.zeros(3, jnp.float64).at[c].set(eps)
+        fd = (float(tip_z(f0 + e)) - float(tip_z(f0 - e))) / (2 * eps)
+        np.testing.assert_allclose(g[c], fd, rtol=1e-5, atol=1e-9)
+
+    # forward mode too (jacfwd exercises the custom JVP directly)
+    jac = jax.jacfwd(tip_z)(f0)
+    np.testing.assert_allclose(np.asarray(jac), g, rtol=1e-10)
