@@ -164,14 +164,37 @@ def _full_grid_state(cfg: rod.RodConfig, qe, q_init, r_init, iters,
 
 
 def equilibrium_residual(qe, tip_force, tip_moment, cfg: StaticsConfig,
-                         iters: int = 24, method: str = "picard"):
-    """Modal moment-balance residual ``(..., na*ne)`` (zero at equilibrium)."""
+                         iters: int = 24, method: str = "picard",
+                         auto_rho_limit: float = 5.0):
+    """Modal moment-balance residual ``(..., na*ne)`` (zero at equilibrium).
+
+    ``method='auto'`` guards the forward model's validity at runtime: the
+    Picard kinematics silently degrade beyond ``rho = max|K| L/2 ~ 5``
+    (the round-2 snap-through hunt hit exactly this in an outer
+    continuation loop), so a traced ``lax.cond`` on the batch's strain
+    bound routes to the dense solve when ANY sample exceeds
+    ``auto_rho_limit``.  Both branches compile; only one executes per call.
+    """
     rc = cfg.rod
     qe = jnp.asarray(qe)
     dtype = qe.dtype
     q_init = jnp.asarray(rod.DEFAULT_Q_INIT, dtype)
     r_init = jnp.zeros(3, dtype)
-    q, r = _full_grid_state(rc, qe, q_init, r_init, iters, method)
+    if method == "auto":
+        table = jnp.asarray(rc.basis_table, dtype)
+        modes = qe.reshape(qe.shape[:-1] + (rc.na, rc.ne))
+        k = jnp.einsum("pe,...ae->...pa", table, modes)[..., :3]
+        rho = jnp.max(jnp.linalg.norm(k, axis=-1)) * rc.length / 2.0
+
+        def branch(m):
+            def f(q_in):
+                return _full_grid_state(rc, q_in, q_init, r_init, iters, m)
+            return f
+
+        q, r = jax.lax.cond(rho <= auto_rho_limit, branch("picard"),
+                            branch("dense"), qe)
+    else:
+        q, r = _full_grid_state(rc, qe, q_init, r_init, iters, method)
     return _residual_from_state(qe, q, r, tip_force, tip_moment, cfg)
 
 

@@ -512,3 +512,39 @@ def test_solve_statics_differentiable_compliance():
     # forward mode too (jacfwd exercises the custom JVP directly)
     jac = jax.jacfwd(tip_z)(f0)
     np.testing.assert_allclose(np.asarray(jac), g, rtol=1e-10)
+
+
+def test_equilibrium_residual_auto_routes_by_rho():
+    """method='auto': inside the Picard validity domain the auto residual
+    equals the picard one; beyond rho ~ 5 it equals the DENSE one where
+    plain picard has silently degraded."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    f = jnp.asarray([0.1, 0.0, 0.3], jnp.float64)
+    m = jnp.zeros(3, jnp.float64)
+
+    qe_small = jnp.zeros(9, jnp.float64).at[4].set(1.0)      # rho ~ 0.9
+    r_auto = cosserat.equilibrium_residual(qe_small, f, m, cfg,
+                                           method="auto")
+    r_pic = cosserat.equilibrium_residual(qe_small, f, m, cfg,
+                                          method="picard")
+    np.testing.assert_allclose(np.asarray(r_auto), np.asarray(r_pic),
+                               atol=1e-14)
+
+    qe_big = jnp.zeros(9, jnp.float64).at[3].set(14.0)       # rho = 7
+    r_auto = cosserat.equilibrium_residual(qe_big, f, m, cfg, method="auto")
+    r_dense = cosserat.equilibrium_residual(qe_big, f, m, cfg,
+                                            method="dense")
+    r_pic = cosserat.equilibrium_residual(qe_big, f, m, cfg,
+                                          method="picard")
+    np.testing.assert_allclose(np.asarray(r_auto), np.asarray(r_dense),
+                               atol=1e-12)
+    # sanity: the guard matters — plain picard is measurably off out here
+    assert float(jnp.max(jnp.abs(r_pic - r_dense))) > 1e-7
+
+    # jit + jacfwd compose through the cond (Newton usability)
+    jac = jax.jit(jax.jacfwd(lambda q: cosserat.equilibrium_residual(
+        q, f, m, cfg, method="auto")))(qe_big)
+    jac_dense = jax.jacfwd(lambda q: cosserat.equilibrium_residual(
+        q, f, m, cfg, method="dense"))(qe_big)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_dense),
+                               atol=1e-10)
