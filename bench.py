@@ -124,6 +124,20 @@ def main():
 
     dt_refined64 = _measure(jax.jit(refined64_step), qes64, reps=5)
 
+    # N=256 high-order config (BASELINE #5 grid) on the multi-tile wide
+    # single refined kernel.
+    cfg256 = rod.RodConfig(n=256)
+    qes256 = qes[:min(batch, 8192)]
+    auto256 = rod.auto_picard_iters(qes256, cfg256) or 28
+
+    def refined256_step(q):
+        sol = rod.rod_shape_refined_fused(q, cfg=cfg256, refine_steps=1,
+                                          iters=auto256, corr_iters=auto256,
+                                          interpret=interpret)
+        return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
+
+    dt_refined256 = _measure(jax.jit(refined256_step), qes256, reps=3)
+
     # Inline accuracy gate vs the f64 algorithm-exact oracle (demo strain),
     # on the SAME code path AND iteration counts as the headline timing.
     qe_hi, qe_lo = rod.split_strain(oracle.demo_qe())
@@ -202,6 +216,8 @@ def main():
             "refined_small_strain_iters": small_iters,
             "refined_n64_solves_per_sec": round(
                 qes64.shape[0] / dt_refined64, 1),
+            "refined_n256_solves_per_sec": round(
+                qes256.shape[0] / dt_refined256, 1),
             "statics_bvp_solves_per_sec": round(loads.shape[0] / dt_statics, 1),
             "statics_n64_bvp_solves_per_sec": round(
                 loads64.shape[0] / dt_statics64, 1),

@@ -412,11 +412,12 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
     Two implementations:
 
     * **single_kernel** (auto-selected for ``refine_steps=1``, na=3,
-      n-1 < 128): the ENTIRE solve — Picard, exact int8-plane (Ozaki)
+      n-1 <= 512): the ENTIRE solve — Picard, exact int8-plane (Ozaki)
       residual, correction, dd tangent, dd position — runs in ONE VMEM-
       resident Pallas kernel (ops/pallas/refined_kernel.py).  ~27M solves/s
-      at ~5e-12 rel on v5e (n=16); grids with 32 < n-1 < 128 take the WIDE
-      layout with right-multiplied Ozaki planes (~1e-9 rel at n=64).
+      at ~5e-12 rel on v5e (n=16); grids with 32 < n-1 <= 512 take the WIDE
+      layout with right-multiplied Ozaki planes (~1e-9 rel at n=64; the
+      N=256 high-order config included).
     * staged: base + correction in the fused kernel
       (ops/pallas/rod_kernel.py), dd residual and position quadrature as
       XLA ops; supports any ``refine_steps``.
@@ -441,7 +442,7 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
         # Kirchhoff strains (6-DoF rides the staged path: the correction
         # kernel reads only the curvature rows, gamma enters via the dd
         # tangent below).
-        single_kernel = (refine_steps == 1 and cfg.n - 1 < 128
+        single_kernel = (refine_steps == 1 and cfg.n - 1 <= 512
                          and precision == "high" and cfg.na == 3)
     if single_kernel:
         if cfg.na != 3:

@@ -432,7 +432,7 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref, *rest,
 def _wide_refined_constants(cfg: rod_model.RodConfig):
     grid = cfg.grid
     npts = grid.num_unknown
-    p_pad = rk.WIDE_P_PAD
+    p_pad = rk._wide_p_pad(npts)
     r_cnt = rk.WIDE_RODS
 
     g_pad = np.zeros((p_pad, p_pad))
@@ -477,7 +477,7 @@ def _rod_shape_refined_kernel_wide(qes, qes_lo, cfg, iters, corr_iters,
             qes_lo = jnp.pad(qes_lo, ((0, b_pad - qes_lo.shape[0]), (0, 0)))
     qes = jnp.concatenate([qes, qes_lo], axis=1)   # (B_pad, 2*nq)
     nb = b_pad // rk.WIDE_RODS
-    p_pad = rk.WIDE_P_PAD
+    p_pad = rk._wide_p_pad(npts)
     nq = cfg.na * cfg.ne
 
     (wt, ptab_hi, ptab_lo, g_rhs, rhs_hi, rhs_lo,
@@ -529,7 +529,7 @@ def _wide_bc_constants(cfg: rod_model.RodConfig):
 
     grid = cfg.grid
     npts = grid.num_unknown
-    p_pad = rk.WIDE_P_PAD
+    p_pad = rk._wide_p_pad(npts)
     din64 = np.zeros((1, p_pad))
     din64[0, :npts] = grid.dn_in
     gdin64 = np.zeros((1, p_pad))
@@ -555,7 +555,7 @@ def _rod_shape_refined_kernel_bc_wide(qes, q_init, r_init, qes_lo,
             qes_lo = jnp.pad(qes_lo, ((0, b_pad - qes_lo.shape[0]), (0, 0)))
     qes = jnp.concatenate([qes, qes_lo], axis=1)
     nb = b_pad // rk.WIDE_RODS
-    p_pad = rk.WIDE_P_PAD
+    p_pad = rk._wide_p_pad(npts)
     nq = cfg.na * cfg.ne
 
     def pack_dd8(v_hi, v_lo):

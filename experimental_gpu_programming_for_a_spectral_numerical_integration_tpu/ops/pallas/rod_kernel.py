@@ -61,8 +61,17 @@ __all__ = ["rod_shape_fused", "rod_shape_fused_bc", "picard_correction_fused",
 DEFAULT_TILE = 2048
 
 
-WIDE_P_PAD = 128     # lane width of the wide (large-grid) layout
+WIDE_P_PAD = 128     # minimum lane width of the wide (large-grid) layout
 WIDE_RODS = 32       # rods per 128-sublane block in the wide layout
+WIDE_MAX_PTS = 512   # multi-lane-tile bound (VMEM: state + operators)
+
+
+def _wide_p_pad(npts: int) -> int:
+    """Lane width for the wide layout: n-1 rounded up to full 128-lane
+    tiles (Mosaic handles multi-tile lane dimensions natively, so grids up
+    to WIDE_MAX_PTS points ride the same kernels — this is what puts the
+    N=256 high-order config on the fused path)."""
+    return max(WIDE_P_PAD, -(-npts // 128) * 128)
 
 
 def _packing(npts: int):
@@ -72,19 +81,19 @@ def _packing(npts: int):
             return p_pad, 128 // (4 * p_pad)
     raise ValueError(
         f"fused kernel packing supports n-1 <= 32 points (got {npts}; the "
-        "wide layout extends to n-1 < 128); use the XLA path beyond that"
+        "wide layout extends to n-1 <= 512); use the XLA path beyond that"
     )
 
 
 def _is_wide(npts: int) -> bool:
-    """Large grids (32 < n-1 < 128) take the WIDE layout: points ride the
-    128 LANES and 32 rods x 4 components fill the sublanes, so the Picard
-    preconditioner applies from the right as ``s @ G~^T`` — one dense
-    128x128 MXU matmul per iteration, no Kronecker packing needed.  This
-    unlocks the fused N=64 statics grid and fused high-order solves
-    (VERDICT r1 missing #4 / ROADMAP two-column-split goal, realized as a
-    transpose instead of a split: one array, no cross-column traffic)."""
-    return 32 < npts < WIDE_P_PAD
+    """Large grids (32 < n-1 <= 512) take the WIDE layout: points ride the
+    LANES (one or more 128-lane tiles) and 32 rods x 4 components fill the
+    sublanes, so the Picard preconditioner applies from the right as
+    ``s @ G~^T`` — dense MXU matmuls per iteration, no Kronecker packing
+    needed.  This unlocks the fused N=64 statics grid and fused high-order
+    solves up to the N=256..N=513 configs (VERDICT r1 missing #4 /
+    ROADMAP goals)."""
+    return 32 < npts <= WIDE_MAX_PTS
 
 
 def _make_mm(precision):
@@ -655,9 +664,11 @@ def _corr_kernel_wide(qe_ref, wt_ref, ptabT_ref, rhs_ref, x_out_ref, *,
     x_out_ref[0, :, :] = s
 
 
-def pack_state_wide(x, p_pad: int = WIDE_P_PAD):
+def pack_state_wide(x, p_pad: int | None = None):
     """``(B, npts, comp<=4) -> (n_blocks, 128, p_pad)`` wide packing."""
     b, npts, comp = x.shape
+    if p_pad is None:
+        p_pad = _wide_p_pad(npts)
     b_pad = -(-b // WIDE_RODS) * WIDE_RODS
     x = jnp.pad(x, ((0, b_pad - b), (0, p_pad - npts), (0, 4 - comp)))
     nb = b_pad // WIDE_RODS
@@ -677,7 +688,7 @@ def unpack_state_wide(packed, b: int, npts: int, comp: int):
 def _wide_constants(cfg: rod_model.RodConfig):
     grid = cfg.grid
     npts = grid.num_unknown
-    p_pad = WIDE_P_PAD
+    p_pad = _wide_p_pad(npts)
     g_pad = np.zeros((p_pad, p_pad), np.float64)
     g_pad[:npts, :npts] = grid.ginv
     wt = (0.5 * g_pad).T.astype(np.float32)
@@ -708,7 +719,7 @@ def _prepare_wide(qes, cfg):
 def _wide_call(kernel, cfg, b_pad, extra_in, n_out, interpret):
     """Shared pallas_call plumbing for the wide kernels."""
     nb = b_pad // WIDE_RODS
-    p_pad = WIDE_P_PAD
+    p_pad = _wide_p_pad(cfg.grid.num_unknown)
     wt, ptab_t, g_rhs, din, gdin = _wide_constants(cfg)
     nq = cfg.na * cfg.ne
     in_specs = [
@@ -737,7 +748,7 @@ def _rod_shape_fused_wide(qes, cfg, iters, precision, interpret):
     if _is_paired(cfg.grid.num_unknown):
         return _rod_shape_fused_pair(qes, cfg, iters, precision, interpret)
     qes, b, b_pad, npts = _prepare_wide(qes, cfg)
-    p_pad = WIDE_P_PAD
+    p_pad = _wide_p_pad(npts)
     _, _, g_rhs, _, _ = _wide_constants(cfg)
     kernel = functools.partial(
         _kernel_wide, iters=iters, ne=cfg.ne, na=cfg.na,
@@ -760,7 +771,7 @@ def _rod_shape_fused_bc_wide(qes, q_init, r_init, cfg, iters, precision,
         return _rod_shape_fused_bc_pair(qes, q_init, r_init, cfg, iters,
                                         precision, interpret)
     qes, b, b_pad, npts = _prepare_wide(qes, cfg)
-    p_pad = WIDE_P_PAD
+    p_pad = _wide_p_pad(npts)
     _, _, _, din, gdin = _wide_constants(cfg)
 
     def pad4(v):
@@ -792,7 +803,7 @@ def _picard_correction_fused_wide(qes, rhs, cfg, iters, precision, interpret):
         return _picard_correction_fused_pair(qes, rhs, cfg, iters, precision,
                                              interpret)
     qes, b, b_pad, npts = _prepare_wide(qes, cfg)
-    p_pad = WIDE_P_PAD
+    p_pad = _wide_p_pad(npts)
     rhs_packed = pack_state_wide(jnp.asarray(rhs, jnp.float32))
     kernel = functools.partial(
         _corr_kernel_wide, iters=iters, ne=cfg.ne, na=cfg.na,

@@ -249,3 +249,19 @@ def test_paired_wide_layout_parity_n64():
         r_cm = np.asarray(rhs[i], np.float64).T.reshape(-1)
         x_ref = np.linalg.solve(a_nn, r_cm).reshape(4, 63).T
         assert np.abs(x[i] - x_ref).max() < 1e-5
+
+
+def test_multitile_wide_f32_parity_n129_n256():
+    """Grids beyond one lane tile (n-1 in 129..512) ride the wide kernels
+    with wider lane dimensions; parity vs the XLA picard path."""
+    rng = np.random.default_rng(1)
+    for n in (129, 256):
+        cfg = rod.RodConfig(n=n)
+        qes = jnp.asarray(0.5 * rng.standard_normal((3, 9)), jnp.float32)
+        q, r = rod_kernel.rod_shape_fused(qes, cfg=cfg, iters=28,
+                                          interpret=True)
+        ref = rod.rod_shape(qes, cfg=cfg, method="picard", iters=28)
+        assert float(jnp.max(jnp.abs(
+            q - ref.quaternions.astype(jnp.float32)))) < 2e-5
+        assert float(jnp.max(jnp.abs(
+            r - ref.positions.astype(jnp.float32)))) < 2e-5

@@ -233,3 +233,21 @@ def test_wide_refined_kernel_ragged_batch_and_sentinel():
         r[36], np.asarray(r1_hi, np.float64)[0] + np.asarray(r1_lo,
                                                              np.float64)[0],
         atol=1e-12)
+
+
+def test_multitile_wide_n256_refined_matches_dense_f64():
+    """Multi-lane-tile wide layout: the N=256 high-order config (BASELINE
+    config #5's grid) on the single refined kernel, ~1e-10 vs f64 dense."""
+    cfg = rod.RodConfig(n=256)
+    qe64 = 0.5 * np.random.default_rng(2).standard_normal((2, 9))
+    qe_hi, qe_lo = rod.split_strain(qe64)
+    q_hi, q_lo, r_hi, r_lo = refined_kernel.rod_shape_refined_kernel(
+        jnp.asarray(qe_hi), qes_lo=jnp.asarray(qe_lo), cfg=cfg, iters=28,
+        corr_iters=28, interpret=True)
+    q = np.asarray(q_hi, np.float64) + np.asarray(q_lo, np.float64)
+    r = np.asarray(r_hi, np.float64) + np.asarray(r_lo, np.float64)
+    sol = rod.rod_shape(jnp.asarray(qe64), cfg=cfg, method="dense")
+    q_ref = np.asarray(sol.quaternions)
+    r_ref = np.asarray(sol.positions)
+    assert np.abs(q - q_ref).max() / np.abs(q_ref).max() < 1e-8
+    assert np.abs(r - r_ref).max() / np.abs(r_ref).max() < 1e-8
