@@ -71,11 +71,11 @@ def test_fused_rod_packing_independence():
 
 
 def test_fused_too_large_n_rejected():
-    """Grids with 32 < n-1 < 128 now route to the wide layout; beyond 128
-    points the fused paths must still refuse loudly."""
-    with pytest.raises(ValueError, match="n-1 <= 32"):
+    """Grids with 32 < n-1 <= 512 route to the (multi-tile) wide layout;
+    beyond that the fused paths must still refuse loudly."""
+    with pytest.raises(ValueError, match="n-1 <= 512"):
         rod_kernel.rod_shape_fused(
-            jnp.zeros((4, 9), jnp.float32), cfg=rod.RodConfig(n=200),
+            jnp.zeros((4, 9), jnp.float32), cfg=rod.RodConfig(n=600),
             interpret=True,
         )
 
