@@ -275,11 +275,17 @@ def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
                   cfg: StaticsConfig = StaticsConfig(), qe0=None,
                   tol: float = 1e-9, max_iter: int = 30,
                   damping: float = 1.0, iters: int = 24,
-                  method: str = "picard") -> StaticsSolution:
+                  method: str = "picard",
+                  line_search: bool = False) -> StaticsSolution:
     """Newton on :func:`equilibrium_residual` with exact AD Jacobians.
 
     jit/vmap-compatible (``lax.while_loop`` with static shapes).  For
-    strong loads prefer :func:`load_continuation`.
+    strong loads prefer :func:`load_continuation`, or set
+    ``line_search=True``: a backtracking Armijo search over step fractions
+    ``{1, 1/2, ..., 1/16}`` (five extra residual evaluations per iterate)
+    that extends the cold-start convergence radius several-fold — e.g. a
+    transverse tip load of 12 EI/L^2 converges from zero where the
+    full-step iteration wanders (tests).
     """
     rc = cfg.rod
     nq = rc.na * rc.ne
@@ -299,6 +305,8 @@ def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
         _, k, res = state
         return jnp.logical_and(k < max_iter, jnp.linalg.norm(res, axis=-1) > tol)
 
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625], dtype)
+
     def body(state):
         qe, k, res = state
         # One forward pass for the Jacobian; the residual is carried in the
@@ -307,8 +315,16 @@ def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
         # TPU: tiny-n LAPACK batched LU is pathologically slow; the
         # unrolled Gauss-Jordan runs on the VPU (ops/smallsolve.py).
         step = smallsolve.gauss_jordan_solve(jac, res)
-        qe = qe - damping * step
-        return qe, k + 1, residual(qe)
+        if not line_search:
+            qe = qe - damping * step
+            return qe, k + 1, residual(qe)
+        cand = qe - damping * alphas[:, None] * step
+        res_c = residual(cand)                          # (5, nq)
+        norms = jnp.linalg.norm(res_c, axis=-1)
+        base = jnp.linalg.norm(res, axis=-1)
+        ok = norms < (1.0 - 1e-4 * alphas) * base
+        idx = jnp.where(jnp.any(ok), jnp.argmax(ok), jnp.argmin(norms))
+        return cand[idx], k + 1, res_c[idx]
 
     r0 = residual(qe0)
     qe, k, res = jax.lax.while_loop(
