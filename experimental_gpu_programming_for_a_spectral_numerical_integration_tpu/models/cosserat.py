@@ -181,9 +181,7 @@ def equilibrium_residual(qe, tip_force, tip_moment, cfg: StaticsConfig,
     q_init = jnp.asarray(rod.DEFAULT_Q_INIT, dtype)
     r_init = jnp.zeros(3, dtype)
     if method == "auto":
-        table = jnp.asarray(rc.basis_table, dtype)
-        modes = qe.reshape(qe.shape[:-1] + (rc.na, rc.ne))
-        k = jnp.einsum("pe,...ae->...pa", table, modes)[..., :3]
+        k = rod.curvature_at_points(rc, qe)[..., :3]
         rho = jnp.max(jnp.linalg.norm(k, axis=-1)) * rc.length / 2.0
 
         def branch(m):
@@ -318,12 +316,19 @@ def solve_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
         if not line_search:
             qe = qe - damping * step
             return qe, k + 1, residual(qe)
-        cand = qe - damping * alphas[:, None] * step
-        res_c = residual(cand)                          # (5, nq)
+        # The CURRENT iterate rides along as candidate 0 so the Armijo
+        # comparison uses residuals from ONE routed evaluation — with
+        # method='auto' a separate base call could route picard while the
+        # aggressive candidates force the whole stack to dense, and the
+        # descent test would then compare across models.
+        cand = qe - damping * jnp.concatenate(
+            [jnp.zeros((1,), dtype), alphas])[:, None] * step
+        res_c = residual(cand)                          # (6, nq)
         norms = jnp.linalg.norm(res_c, axis=-1)
-        base = jnp.linalg.norm(res, axis=-1)
-        ok = norms < (1.0 - 1e-4 * alphas) * base
-        idx = jnp.where(jnp.any(ok), jnp.argmax(ok), jnp.argmin(norms))
+        base = norms[0]
+        ok = norms[1:] < (1.0 - 1e-4 * alphas) * base
+        idx = 1 + jnp.where(jnp.any(ok), jnp.argmax(ok),
+                            jnp.argmin(norms[1:]))
         return cand[idx], k + 1, res_c[idx]
 
     r0 = residual(qe0)
@@ -1063,9 +1068,9 @@ def arc_length_continuation_batched(load_refs,
             aug, jac_aug = aug_and_jac(x, x_pred, t)
             return x, k + 1, aug, jac_aug
 
-        x, _, aug, _ = jax.lax.while_loop(
+        x, _, aug, jac_aug = jax.lax.while_loop(
             cond, body, (x_pred, jnp.zeros((), jnp.int32), aug0, jac0))
-        return x, jnp.linalg.norm(aug, axis=1) <= tol
+        return x, jnp.linalg.norm(aug, axis=1) <= tol, jac_aug
 
     t0 = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(
         jnp.float32(direction))
@@ -1079,12 +1084,19 @@ def arc_length_continuation_batched(load_refs,
     def walk(state, _):
         x, t, ds_k = state
         x_pred = x + ds_k[:, None] * t
-        x_new, ok = corrector(x_pred, t)
+        x_new, ok, jac_aug = corrector(x_pred, t)
         x = jnp.where(ok[:, None], x_new, x)
-        t_new, jac = tangent(x, t)
-        t = jnp.where(ok[:, None], t_new, t)
+        # Keller tangent straight from the corrector's final bordered
+        # matrix (its border row IS the previous tangent, and it was
+        # assembled at the returned x) — this reuse saves the standalone
+        # fused state+tangent evaluation per step, ~1/3 of the walk cost.
+        rhs = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(1.0)
+        t_cand = smallsolve.gauss_jordan_solve(jac_aug, rhs)
+        norm = jnp.sqrt(jnp.sum(t_cand[:, :nq] ** 2, axis=1)
+                        + psi ** 2 * t_cand[:, nq] ** 2)
+        t = jnp.where(ok[:, None], t_cand / norm[:, None], t)
         ds_k = jnp.where(ok, jnp.minimum(ds, ds_k * 1.5), ds_k * 0.5)
-        sign, logabs = monitors(jac)
+        sign, logabs = monitors(jac_aug[:, :nq, :nq])
         return (x, t, ds_k), (x[:, nq], x[:, :nq], ok, sign, logabs)
 
     _, (lambdas, qes, conv, signs, logdets) = jax.lax.scan(

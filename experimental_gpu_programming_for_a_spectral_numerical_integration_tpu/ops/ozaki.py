@@ -111,8 +111,11 @@ def _accumulate_pairs(dot, ka, x_hi, x_lo, x_exp, const_exp, pair_budget,
                 d = dot(k, lo_planes[m])
                 terms[key] = d if key not in terms else terms[key] + d
 
-    out_hi = jnp.zeros_like(x_hi)
-    out_lo = jnp.zeros_like(x_hi)
+    # Output shape comes from the DOT result, not the operand: a
+    # rectangular constant C (n, m) contracts (rows, n) -> (rows, m).
+    out_shape = next(iter(terms.values())).shape
+    out_hi = jnp.zeros(out_shape, jnp.float32)
+    out_lo = jnp.zeros(out_shape, jnp.float32)
     for key in sorted(terms, reverse=True):  # largest significance first
         term = terms[key].astype(jnp.float32) * jnp.float32(2.0 ** key)
         out_hi, out_lo = dd.dd_add_f32(out_hi, out_lo, term)

@@ -252,7 +252,7 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
 def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref, *rest,
                          iters, corr_iters, ne, wdt_exp, wgt_exp,
                          rho2_limit, bc=False):
-    """WIDE-layout (32 < n-1 < 128) fully-fused refined solve.
+    """WIDE-layout (32 < n-1 <= 512) fully-fused refined solve.
 
     Same five stages as :func:`_kernel`, transposed: points ride the 128
     LANES, 32 rods x 4 components fill the sublanes, every spectral
@@ -698,7 +698,7 @@ def rod_shape_refined_kernel_bc(qes, q_init, r_init, qes_lo=None,
     ``rod_kernel.rod_shape_fused_bc``: multi-segment rods chain through it
     without dropping to f32 at the junctions (models/segments.py,
     method='refined_fused').  ≙ `/root/reference/main.cpp:106,154` with the
-    boundary values generalized.  Wide grids (32 < n-1 < 128) route to the
+    boundary values generalized.  Wide grids (32 < n-1 <= 512) route to the
     wide-layout variant.
     """
     if rk._is_wide(cfg.grid.num_unknown):

@@ -376,7 +376,7 @@ def rod_shape_fused(qes, cfg: rod_model.RodConfig = rod_model.RodConfig(),
     ``q_init = (1,0,0,0)``, ``r_init = 0`` (the reference demo's boundary
     conditions, `main.cpp:106-154`); f32 storage, MXU pass count set by
     ``precision``.  ``B`` is padded to a multiple of ``tile`` internally.
-    Grids with 32 < n-1 < 128 points route to the WIDE layout
+    Grids with 32 < n-1 <= 512 points route to the WIDE layout
     (``tile`` is then ignored: 32-rod blocks).
     """
     if _is_wide(cfg.grid.num_unknown):
@@ -538,7 +538,8 @@ def rod_shape_fused_bc(qes, q_init, r_init,
 
 
 # ---------------------------------------------------------------------------
-# WIDE layout (32 < n-1 < 128): points on lanes, (comp, rod) on sublanes.
+# WIDE layout (32 < n-1 <= 512): points on lanes (one or more 128-lane
+# tiles), (comp, rod) on sublanes.
 # PAIRED sub-variant (n-1 <= 64): TWO rods share the 128 lanes (rod A on
 # lanes [0, 64), rod B on [64, 128)) with block-diagonal spectral operators
 # — 64 rods ride every 128x128 MXU pass instead of 32, doubling MAC

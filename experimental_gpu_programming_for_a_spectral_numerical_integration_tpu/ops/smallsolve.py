@@ -98,9 +98,12 @@ def det_sign_logabs(a):
         sign = sign * jnp.where(p == k, 1.0, -1.0)
 
         piv = a[..., k, k]
+        # Singular case: match slogdet's (0, -inf) instead of NaN-poisoning
+        # the elimination (sign(0) = 0 propagates; log(0) = -inf; the
+        # guarded reciprocal keeps the remaining rows finite).
         sign = sign * jnp.sign(piv)
         logabs = logabs + jnp.log(jnp.abs(piv))
-        inv_piv = 1.0 / piv
+        inv_piv = 1.0 / jnp.where(piv == 0, 1.0, piv)
         factor = a[..., :, k] * inv_piv[..., None]
         factor = factor * (1.0 - sel_k)
         a = a - factor[..., :, None] * a[..., k, :][..., None, :]
