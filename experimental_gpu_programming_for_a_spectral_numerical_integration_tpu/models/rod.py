@@ -442,14 +442,17 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
         # Kirchhoff strains (6-DoF rides the staged path: the correction
         # kernel reads only the curvature rows, gamma enters via the dd
         # tangent below).
-        single_kernel = (refine_steps == 1 and cfg.n - 1 <= 512
-                         and precision == "high" and cfg.na == 3)
+        single_kernel = (refine_steps == 1 and precision == "high"
+                         and (cfg.n - 1 <= 512 if cfg.na == 3
+                              else cfg.n - 1 <= 32))
     if single_kernel:
-        if cfg.na != 3:
+        if cfg.na == 6 and cfg.n - 1 > 32:
             raise ValueError(
-                "single_kernel covers the Kirchhoff na=3 case; use "
-                "single_kernel=False for 6-DoF strains"
+                "single_kernel covers na=6 only in the narrow layout "
+                "(n-1 <= 32); use single_kernel=False for wide 6-DoF grids"
             )
+        if cfg.na not in (3, 6):
+            raise ValueError("single_kernel supports na in (3, 6)")
         if refine_steps != 1:
             raise ValueError(
                 "single_kernel performs exactly one refinement; use "

@@ -51,7 +51,7 @@ def _ozaki_apply(planes_ref, const_exp, x_hi, x_lo, x_exp, pair_budget=7):
 
 def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
             iters, corr_iters, ne, p_pad, rpc, wd_exp, wg_exp, rho2_limit,
-            bc=False):
+            bc=False, na=3):
     from .. import doubledouble as dd
 
     if bc:
@@ -79,9 +79,12 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
     # f64-grade strain input onto the chip (zeros for plain f32 input).
     p_hi = ptab_hi_ref[:, :]
     p_lo = ptab_lo_ref[:, :]
-    nq = 3 * ne
+    nq = na * ne
+    # For na=6 (Reissner) the first 3 components are curvature/2 (driving
+    # A(K)); components 3..5 are shear/extension gamma/2 (driving the
+    # 6-DoF tangent at stage 4, rescaled x2 there).
     k_hi, k_lo = [], []
-    for a in range(3):
+    for a in range(na):
         acc_h = acc_l = None
         for e in range(ne):
             row_hi = qe_ref[a * ne + e:a * ne + e + 1, :]
@@ -140,7 +143,7 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
         bad = jnp.max(jnp.abs(s[h * 4 * p_pad:(h + 1) * 4 * p_pad, :]),
                       axis=0, keepdims=True) >= 3.96
         if rho2_limit is not None:
-            k0, k1, k2 = kh[h]                       # K/2 at the points
+            k0, k1, k2 = kh[h][:3]                   # K/2 at the points
             ss = jnp.max(k0 * k0 + k1 * k1 + k2 * k2, axis=0, keepdims=True)
             bad = bad | (ss > rho2_limit)
         slot_bad.append(bad)
@@ -150,8 +153,8 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
     # (1/2)A(K)s in dd: per-block EFT products (the 1/2 lives in kh already).
     ak_blocks_hi, ak_blocks_lo = [], []
     for h in range(rpc):
-        k0h, k1h, k2h = kh[h]
-        k0l, k1l, k2l = kh_lo[h]
+        k0h, k1h, k2h = kh[h][:3]
+        k0l, k1l, k2l = kh_lo[h][:3]
         sw, sx, sy, sz = rk._component_slices(s, h, p_pad)
 
         def prod(khh, khl, sv):
@@ -202,11 +205,44 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
         wz = dd.dd_mul(sw_h, sw_l, sz_h, sz_l)
         xz = dd.dd_mul(sx_h, sx_l, sz_h, sz_l)
         wy = dd.dd_mul(sw_h, sw_l, sy_h, sy_l)
-        one2 = jnp.full_like(sw_h, 2.0)
-        t0 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -4.0), one2)
-        t1 = dd.dd_scale(*dd.dd_add(*xy, *wz), 4.0)
-        t2 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 4.0)
         zero = jnp.zeros_like(sw_h)
+        if na == 3:
+            one2 = jnp.full_like(sw_h, 2.0)
+            t0 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -4.0),
+                               one2)
+            t1 = dd.dd_scale(*dd.dd_add(*xy, *wz), 4.0)
+            t2 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 4.0)
+        else:
+            # Reissner tangent b = 2 R(q)(e1 + gamma), dd.  The strain
+            # tables carry gamma/2 (the folded 1/2), so rescale x2 first.
+            xx = dd.dd_mul(sx_h, sx_l, sx_h, sx_l)
+            yz = dd.dd_mul(sy_h, sy_l, sz_h, sz_l)
+            wx = dd.dd_mul(sw_h, sw_l, sx_h, sx_l)
+            g = [dd.dd_scale(kh[h][3 + j], kh_lo[h][3 + j], 2.0)
+                 for j in range(3)]
+            e0 = dd.dd_add_f32(*g[0], jnp.ones_like(sw_h))
+
+            def fma3(c0, v0, c1, v1, c2, v2):
+                # sum of three dd products, dd-accurate
+                acc = dd.dd_mul(*c0, *v0)
+                acc = dd.dd_add(*acc, *dd.dd_mul(*c1, *v1))
+                return dd.dd_add(*acc, *dd.dd_mul(*c2, *v2))
+
+            a00 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -2.0),
+                                jnp.ones_like(sw_h))
+            a01 = dd.dd_scale(*dd.dd_add(*xy, *dd.dd_neg(*wz)), 2.0)
+            a02 = dd.dd_scale(*dd.dd_add(*xz, *wy), 2.0)
+            a10 = dd.dd_scale(*dd.dd_add(*xy, *wz), 2.0)
+            a11 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*xx, *zz), -2.0),
+                                jnp.ones_like(sw_h))
+            a12 = dd.dd_scale(*dd.dd_add(*yz, *dd.dd_neg(*wx)), 2.0)
+            a20 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 2.0)
+            a21 = dd.dd_scale(*dd.dd_add(*yz, *wx), 2.0)
+            a22 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*xx, *yy), -2.0),
+                                jnp.ones_like(sw_h))
+            t0 = dd.dd_scale(*fma3(a00, e0, a01, g[1], a02, g[2]), 2.0)
+            t1 = dd.dd_scale(*fma3(a10, e0, a11, g[1], a12, g[2]), 2.0)
+            t2 = dd.dd_scale(*fma3(a20, e0, a21, g[1], a22, g[2]), 2.0)
         tb_hi += [t0[0], t1[0], t2[0], zero]
         tb_lo += [t0[1], t1[1], t2[1], zero]
     b_hi = jnp.concatenate(tb_hi, axis=0)
@@ -742,7 +778,7 @@ def rod_shape_refined_kernel_bc(qes, q_init, r_init, qes_lo=None,
         p_pad=p_pad, rpc=rpc, wd_exp=wd_exp, wg_exp=wg_exp,
         rho2_limit=(None if check_rho is None
                     else float((check_rho / cfg.length) ** 2)),
-        bc=True,
+        bc=True, na=cfg.na,
     )
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
@@ -840,6 +876,7 @@ def rod_shape_refined_kernel(qes, qes_lo=None,
         # kh holds K/2, so rho = L * max|K/2|; compare squared magnitudes.
         rho2_limit=(None if check_rho is None
                     else float((check_rho / cfg.length) ** 2)),
+        na=cfg.na,
     )
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)

@@ -135,15 +135,63 @@ def test_fused_bc_6dof_matches_picard():
 
 
 def test_refined_fused_6dof_hits_gate():
-    """Staged refined-fused path at na=6 vs dense f64: <= 1e-8 rel."""
+    """Refined-fused path at na=6 vs dense f64: <= 1e-8 rel on BOTH
+    implementations — the auto-selected single kernel (na=6 narrow support
+    landed with the dd Reissner tangent) and the staged path."""
     rng = np.random.default_rng(5)
     qe64 = rng.standard_normal((64, 18)) * 0.5
-    sol = rod.rod_shape_refined_fused(rod.split_strain(qe64), cfg=CFG6,
-                                      refine_steps=1, tile=64, interpret=True)
     ref = rod.rod_shape(jnp.asarray(qe64), cfg=CFG6, method="dense")
     r_ref = np.asarray(ref.positions)
-    rel = np.max(np.abs(sol.positions_f64() - r_ref)) / np.max(np.abs(r_ref))
-    assert rel < 1e-8, rel
-    with pytest.raises(ValueError, match="na=3"):
-        rod.rod_shape_refined_fused(rod.split_strain(qe64), cfg=CFG6,
-                                    single_kernel=True)
+    for single in (None, False):
+        sol = rod.rod_shape_refined_fused(rod.split_strain(qe64), cfg=CFG6,
+                                          refine_steps=1, tile=64,
+                                          interpret=True,
+                                          single_kernel=single)
+        rel = np.max(np.abs(sol.positions_f64() - r_ref))             / np.max(np.abs(r_ref))
+        assert rel < 1e-8, (single, rel)
+    # wide 6-DoF grids still route loudly away from the single kernel
+    with pytest.raises(ValueError, match="narrow layout"):
+        rod.rod_shape_refined_fused(
+            rod.split_strain(rng.standard_normal((4, 18)) * 0.1),
+            cfg=rod.RodConfig(n=64, na=6, ne=3), single_kernel=True)
+
+
+def test_single_refined_kernel_na6_matches_dense_f64():
+    """The fully-fused single refined kernel now covers 6-DoF Reissner
+    strains in the narrow layout (dd Reissner tangent in-kernel): ~1e-11
+    vs the f64 dense solve, general BCs included."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
+        refined_kernel,
+    )
+
+    cfg = rod.RodConfig(n=16, na=6, ne=3)
+    rng = np.random.default_rng(0)
+    qe64 = np.concatenate([0.6 * rng.standard_normal((4, 9)),
+                           0.15 * rng.standard_normal((4, 9))], axis=1)
+    qe_hi, qe_lo = rod.split_strain(qe64)
+    q_hi, q_lo, r_hi, r_lo = refined_kernel.rod_shape_refined_kernel(
+        jnp.asarray(qe_hi), qes_lo=jnp.asarray(qe_lo), cfg=cfg, iters=22,
+        corr_iters=22, tile=64, interpret=True)
+    q = np.asarray(q_hi, np.float64) + np.asarray(q_lo, np.float64)
+    r = np.asarray(r_hi, np.float64) + np.asarray(r_lo, np.float64)
+    sol = rod.rod_shape(jnp.asarray(qe64), cfg=cfg, method="dense")
+    q_ref = np.asarray(sol.quaternions)
+    r_ref = np.asarray(sol.positions)
+    assert np.abs(q - q_ref).max() / np.abs(q_ref).max() < 1e-9
+    assert np.abs(r - r_ref).max() / np.abs(r_ref).max() < 1e-9
+
+    # general-BC variant against the dense solve with the same BCs
+    q0 = rng.standard_normal((4, 4))
+    q0 /= np.linalg.norm(q0, axis=1, keepdims=True)
+    r0 = 0.3 * rng.standard_normal((4, 3))
+    b = refined_kernel.rod_shape_refined_kernel_bc(
+        jnp.asarray(qe_hi), jnp.asarray(q0, np.float32),
+        jnp.asarray(r0, np.float32), qes_lo=jnp.asarray(qe_lo), cfg=cfg,
+        iters=22, corr_iters=22, tile=64, interpret=True)
+    qb = np.asarray(b[0], np.float64) + np.asarray(b[1], np.float64)
+    rb = np.asarray(b[2], np.float64) + np.asarray(b[3], np.float64)
+    solb = rod.rod_shape(jnp.asarray(qe64), q_init=jnp.asarray(q0),
+                         r_init=jnp.asarray(r0), cfg=cfg, method="dense")
+    # f32-rounded BCs: agreement at the BC-rounding level, not dd level
+    assert np.abs(qb - np.asarray(solb.quaternions)).max() < 5e-7
+    assert np.abs(rb - np.asarray(solb.positions)).max() < 5e-7
