@@ -438,19 +438,12 @@ def rod_shape_refined_fused(qe, cfg: RodConfig = RodConfig(), iters: int = 20,
             corr_iters = iters
     if single_kernel is None:
         # Auto-select only when the single kernel can honor every request:
-        # it performs exactly one refinement at 'high' matmul precision on
-        # Kirchhoff strains (6-DoF rides the staged path: the correction
-        # kernel reads only the curvature rows, gamma enters via the dd
-        # tangent below).
+        # it performs exactly one refinement at 'high' matmul precision;
+        # na in (3, 6) is covered by every layout tier (narrow, wide,
+        # paired, multi-tile — the dd Reissner tangent is in-kernel).
         single_kernel = (refine_steps == 1 and precision == "high"
-                         and (cfg.n - 1 <= 512 if cfg.na == 3
-                              else cfg.n - 1 <= 32))
+                         and cfg.na in (3, 6) and cfg.n - 1 <= 512)
     if single_kernel:
-        if cfg.na == 6 and cfg.n - 1 > 32:
-            raise ValueError(
-                "single_kernel covers na=6 only in the narrow layout "
-                "(n-1 <= 32); use single_kernel=False for wide 6-DoF grids"
-            )
         if cfg.na not in (3, 6):
             raise ValueError("single_kernel supports na in (3, 6)")
         if refine_steps != 1:

@@ -49,6 +49,59 @@ def _ozaki_apply(planes_ref, const_exp, x_hi, x_lo, x_exp, pair_budget=7):
                            x_exp, pair_budget=pair_budget)
 
 
+def _dd_tangent_rows(dd, q_dd, gamma_half=None):
+    """x2-scaled double-word tangent rows ``(t0, t1, t2)`` (dd pairs).
+
+    ``q_dd``: four dd pairs ``(hi, lo)`` of the quaternion components (any
+    layout — the algebra is elementwise, so the narrow/wide/paired kernels
+    all share this).  ``gamma_half``: ``None`` for the Kirchhoff tangent
+    ``2 R(q) e1`` (`/root/reference/main.cpp:130-136` semantics), or three
+    dd pairs carrying the Reissner shear/extension ``gamma/2`` (the strain
+    tables' folded 1/2 — rescaled x2 here) for ``2 R(q)(e1 + gamma)``, the
+    6-DoF extension the reference's dead ``ad()`` signals
+    (`utilities.h:27-37`).
+    """
+    (sw_h, sw_l), (sx_h, sx_l), (sy_h, sy_l), (sz_h, sz_l) = q_dd
+    yy = dd.dd_mul(sy_h, sy_l, sy_h, sy_l)
+    zz = dd.dd_mul(sz_h, sz_l, sz_h, sz_l)
+    xy = dd.dd_mul(sx_h, sx_l, sy_h, sy_l)
+    wz = dd.dd_mul(sw_h, sw_l, sz_h, sz_l)
+    xz = dd.dd_mul(sx_h, sx_l, sz_h, sz_l)
+    wy = dd.dd_mul(sw_h, sw_l, sy_h, sy_l)
+    if gamma_half is None:
+        one2 = jnp.full_like(sw_h, 2.0)
+        t0 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -4.0), one2)
+        t1 = dd.dd_scale(*dd.dd_add(*xy, *wz), 4.0)
+        t2 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 4.0)
+        return t0, t1, t2
+    xx = dd.dd_mul(sx_h, sx_l, sx_h, sx_l)
+    yz = dd.dd_mul(sy_h, sy_l, sz_h, sz_l)
+    wx = dd.dd_mul(sw_h, sw_l, sx_h, sx_l)
+    g = [dd.dd_scale(gh, gl, 2.0) for gh, gl in gamma_half]
+    e0 = dd.dd_add_f32(*g[0], jnp.ones_like(sw_h))
+
+    def fma3(c0, v0, c1, v1, c2, v2):
+        # sum of three dd products, dd-accurate
+        acc = dd.dd_mul(*c0, *v0)
+        acc = dd.dd_add(*acc, *dd.dd_mul(*c1, *v1))
+        return dd.dd_add(*acc, *dd.dd_mul(*c2, *v2))
+
+    one = jnp.ones_like(sw_h)
+    a00 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -2.0), one)
+    a01 = dd.dd_scale(*dd.dd_add(*xy, *dd.dd_neg(*wz)), 2.0)
+    a02 = dd.dd_scale(*dd.dd_add(*xz, *wy), 2.0)
+    a10 = dd.dd_scale(*dd.dd_add(*xy, *wz), 2.0)
+    a11 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*xx, *zz), -2.0), one)
+    a12 = dd.dd_scale(*dd.dd_add(*yz, *dd.dd_neg(*wx)), 2.0)
+    a20 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 2.0)
+    a21 = dd.dd_scale(*dd.dd_add(*yz, *wx), 2.0)
+    a22 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*xx, *yy), -2.0), one)
+    t0 = dd.dd_scale(*fma3(a00, e0, a01, g[1], a02, g[2]), 2.0)
+    t1 = dd.dd_scale(*fma3(a10, e0, a11, g[1], a12, g[2]), 2.0)
+    t2 = dd.dd_scale(*fma3(a20, e0, a21, g[1], a22, g[2]), 2.0)
+    return t0, t1, t2
+
+
 def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
             iters, corr_iters, ne, p_pad, rpc, wd_exp, wg_exp, rho2_limit,
             bc=False, na=3):
@@ -197,52 +250,12 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
     # --- stage 4: dd tangent (x2, so I (x) G/2 integrates it) ---
     tb_hi, tb_lo = [], []
     for h in range(rpc):
-        sw_h, sx_h, sy_h, sz_h = rk._component_slices(x_hi, h, p_pad)
-        sw_l, sx_l, sy_l, sz_l = rk._component_slices(x_lo, h, p_pad)
-        yy = dd.dd_mul(sy_h, sy_l, sy_h, sy_l)
-        zz = dd.dd_mul(sz_h, sz_l, sz_h, sz_l)
-        xy = dd.dd_mul(sx_h, sx_l, sy_h, sy_l)
-        wz = dd.dd_mul(sw_h, sw_l, sz_h, sz_l)
-        xz = dd.dd_mul(sx_h, sx_l, sz_h, sz_l)
-        wy = dd.dd_mul(sw_h, sw_l, sy_h, sy_l)
-        zero = jnp.zeros_like(sw_h)
-        if na == 3:
-            one2 = jnp.full_like(sw_h, 2.0)
-            t0 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -4.0),
-                               one2)
-            t1 = dd.dd_scale(*dd.dd_add(*xy, *wz), 4.0)
-            t2 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 4.0)
-        else:
-            # Reissner tangent b = 2 R(q)(e1 + gamma), dd.  The strain
-            # tables carry gamma/2 (the folded 1/2), so rescale x2 first.
-            xx = dd.dd_mul(sx_h, sx_l, sx_h, sx_l)
-            yz = dd.dd_mul(sy_h, sy_l, sz_h, sz_l)
-            wx = dd.dd_mul(sw_h, sw_l, sx_h, sx_l)
-            g = [dd.dd_scale(kh[h][3 + j], kh_lo[h][3 + j], 2.0)
-                 for j in range(3)]
-            e0 = dd.dd_add_f32(*g[0], jnp.ones_like(sw_h))
-
-            def fma3(c0, v0, c1, v1, c2, v2):
-                # sum of three dd products, dd-accurate
-                acc = dd.dd_mul(*c0, *v0)
-                acc = dd.dd_add(*acc, *dd.dd_mul(*c1, *v1))
-                return dd.dd_add(*acc, *dd.dd_mul(*c2, *v2))
-
-            a00 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -2.0),
-                                jnp.ones_like(sw_h))
-            a01 = dd.dd_scale(*dd.dd_add(*xy, *dd.dd_neg(*wz)), 2.0)
-            a02 = dd.dd_scale(*dd.dd_add(*xz, *wy), 2.0)
-            a10 = dd.dd_scale(*dd.dd_add(*xy, *wz), 2.0)
-            a11 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*xx, *zz), -2.0),
-                                jnp.ones_like(sw_h))
-            a12 = dd.dd_scale(*dd.dd_add(*yz, *dd.dd_neg(*wx)), 2.0)
-            a20 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 2.0)
-            a21 = dd.dd_scale(*dd.dd_add(*yz, *wx), 2.0)
-            a22 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*xx, *yy), -2.0),
-                                jnp.ones_like(sw_h))
-            t0 = dd.dd_scale(*fma3(a00, e0, a01, g[1], a02, g[2]), 2.0)
-            t1 = dd.dd_scale(*fma3(a10, e0, a11, g[1], a12, g[2]), 2.0)
-            t2 = dd.dd_scale(*fma3(a20, e0, a21, g[1], a22, g[2]), 2.0)
+        q_dd = list(zip(rk._component_slices(x_hi, h, p_pad),
+                        rk._component_slices(x_lo, h, p_pad)))
+        gamma_half = ([(kh[h][3 + j], kh_lo[h][3 + j]) for j in range(3)]
+                      if na == 6 else None)
+        t0, t1, t2 = _dd_tangent_rows(dd, q_dd, gamma_half)
+        zero = jnp.zeros_like(t0[0])
         tb_hi += [t0[0], t1[0], t2[0], zero]
         tb_lo += [t0[1], t1[1], t2[1], zero]
     b_hi = jnp.concatenate(tb_hi, axis=0)
@@ -287,7 +300,7 @@ def _kernel(qe_ref, w_ref, ptab_hi_ref, ptab_lo_ref, *rest,
 
 def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref, *rest,
                          iters, corr_iters, ne, wdt_exp, wgt_exp,
-                         rho2_limit, bc=False):
+                         rho2_limit, bc=False, na=3):
     """WIDE-layout (32 < n-1 <= 512) fully-fused refined solve.
 
     Same five stages as :func:`_kernel`, transposed: points ride the 128
@@ -297,7 +310,9 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref, *rest,
     Unlocks the single-kernel accuracy path for the N=64 statics grid and
     N=128-class high-order solves (ROADMAP r3).  ``bc=True`` takes per-rod
     double-word junction states instead of the demo boundary conditions
-    (multi-segment accuracy chains with wide segment grids).
+    (multi-segment accuracy chains with wide segment grids).  ``na=6``
+    carries the Reissner shear/extension rows (components 3..5, gamma/2)
+    into the stage-4 dd tangent.
     """
     from .. import doubledouble as dd
 
@@ -316,9 +331,9 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref, *rest,
     # [qe_hi (na*ne) ; qe_lo (na*ne)].
     p_hi = ptab_hi_ref[:, :]                      # (ne, p_pad)
     p_lo = ptab_lo_ref[:, :]
-    nq = 3 * ne
+    nq = na * ne
     k_hi, k_lo = [], []
-    for a in range(3):
+    for a in range(na):
         acc_h = acc_l = None
         for e in range(ne):
             col_hi = qe_ref[:, a * ne + e:a * ne + e + 1]        # (R, 1)
@@ -367,7 +382,7 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref, *rest,
     )                                              # (R, p_pad)
     bad = jnp.max(comp_abs, axis=1, keepdims=True) >= 3.96       # (R, 1)
     if rho2_limit is not None:
-        k0, k1, k2 = k_hi
+        k0, k1, k2 = k_hi[:3]
         ss = jnp.max(k0 * k0 + k1 * k1 + k2 * k2, axis=1, keepdims=True)
         bad = bad | (ss > rho2_limit)
 
@@ -387,8 +402,8 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref, *rest,
         h0, l0 = dd.dd_add(h0, l0, *dd.dd_scale(*t1, sign1))
         return dd.dd_add(h0, l0, *dd.dd_scale(*t2, sign2))
 
-    k0h, k1h, k2h = k_hi
-    k0l, k1l, k2l = k_lo
+    k0h, k1h, k2h = k_hi[:3]
+    k0l, k1l, k2l = k_lo[:3]
     rows = [
         comb(-1.0, prod(k0h, k0l, sx), -1.0, prod(k1h, k1l, sy),
              -1.0, prod(k2h, k2l, sz)),
@@ -414,19 +429,12 @@ def _kernel_wide_refined(qe_ref, wt_ref, ptab_hi_ref, ptab_lo_ref, *rest,
     x_hi, x_lo = dd.two_sum(s, delta)
 
     # --- stage 4: dd tangent (x2) ---
-    xw_h, xx_h, xy_h, xz_h = (rk._wide_comp(x_hi, c) for c in range(4))
-    xw_l, xx_l, xy_l, xz_l = (rk._wide_comp(x_lo, c) for c in range(4))
-    yy = dd.dd_mul(xy_h, xy_l, xy_h, xy_l)
-    zz = dd.dd_mul(xz_h, xz_l, xz_h, xz_l)
-    xy = dd.dd_mul(xx_h, xx_l, xy_h, xy_l)
-    wz = dd.dd_mul(xw_h, xw_l, xz_h, xz_l)
-    xz = dd.dd_mul(xx_h, xx_l, xz_h, xz_l)
-    wy = dd.dd_mul(xw_h, xw_l, xy_h, xy_l)
-    one2 = jnp.full_like(xw_h, 2.0)
-    t0 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -4.0), one2)
-    t1 = dd.dd_scale(*dd.dd_add(*xy, *wz), 4.0)
-    t2 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 4.0)
-    zero = jnp.zeros_like(xw_h)
+    q_dd = list(zip((rk._wide_comp(x_hi, c) for c in range(4)),
+                    (rk._wide_comp(x_lo, c) for c in range(4))))
+    gamma_half = ([(k_hi[3 + j], k_lo[3 + j]) for j in range(3)]
+                  if na == 6 else None)
+    t0, t1, t2 = _dd_tangent_rows(dd, q_dd, gamma_half)
+    zero = jnp.zeros_like(t0[0])
     b_hi = jnp.concatenate([t0[0], t1[0], t2[0], zero], axis=0)
     b_lo = jnp.concatenate([t0[1], t1[1], t2[1], zero], axis=0)
 
@@ -501,9 +509,6 @@ def _rod_shape_refined_kernel_wide(qes, qes_lo, cfg, iters, corr_iters,
         return _rod_shape_refined_kernel_pair(qes, qes_lo, cfg, iters,
                                               corr_iters, interpret,
                                               check_rho)
-    if cfg.na != 3:
-        raise ValueError("refined kernel: na=3 only (Kirchhoff strains); "
-                         "use rod_shape(method='refined') for na=6")
     qes, b, b_pad, npts = rk._prepare_wide(qes, cfg)
     if qes_lo is None:
         qes_lo = jnp.zeros_like(qes)
@@ -524,6 +529,7 @@ def _rod_shape_refined_kernel_wide(qes, qes_lo, cfg, iters, corr_iters,
         wdt_exp=wdt_exp, wgt_exp=wgt_exp,
         rho2_limit=(None if check_rho is None
                     else float((check_rho / cfg.length) ** 2)),
+        na=cfg.na,
     )
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
@@ -580,8 +586,6 @@ def _rod_shape_refined_kernel_bc_wide(qes, q_init, r_init, qes_lo,
         return _rod_shape_refined_kernel_bc_pair(
             qes, q_init, r_init, qes_lo, q_init_lo, r_init_lo, cfg, iters,
             corr_iters, interpret, check_rho)
-    if cfg.na != 3:
-        raise ValueError("refined kernel: na=3 only (Kirchhoff strains)")
     qes, b, b_pad, npts = rk._prepare_wide(qes, cfg)
     if qes_lo is None:
         qes_lo = jnp.zeros_like(qes)
@@ -617,7 +621,7 @@ def _rod_shape_refined_kernel_bc_wide(qes, q_init, r_init, qes_lo,
         wdt_exp=wdt_exp, wgt_exp=wgt_exp,
         rho2_limit=(None if check_rho is None
                     else float((check_rho / cfg.length) ** 2)),
-        bc=True,
+        bc=True, na=cfg.na,
     )
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
@@ -913,12 +917,13 @@ def rod_shape_refined_kernel(qes, qes_lo=None,
 
 def _kernel_pair_refined(qe_ref, wt_ref, pha_ref, pla_ref, phb_ref, plb_ref,
                          *rest, iters, corr_iters, ne, wdt_exp, wgt_exp,
-                         rho2_limit, bc=False):
+                         rho2_limit, bc=False, na=3):
     """Paired-lane variant of :func:`_kernel_wide_refined`: rod A on lanes
     [0, 64), rod B on [64, 128), block-diagonal operators (incl. the int8
     planes) — 64 accuracy-grade rods per MXU pass.  The dd strain outer
     products stay exact because the two halves have disjoint lane support
-    (each lane receives exactly one contribution)."""
+    (each lane receives exactly one contribution).  ``na=6`` carries the
+    Reissner gamma rows into the stage-4 dd tangent."""
     from .. import doubledouble as dd
     from .. import ozaki as _oz
 
@@ -934,13 +939,13 @@ def _kernel_pair_refined(qe_ref, wt_ref, pha_ref, pla_ref, phb_ref, plb_ref,
     mm = rk._make_mm("high")
     r_cnt = rk.WIDE_RODS
     half_lanes = rk.WIDE_PAIR_HALF
-    nq = 3 * ne
+    nq = na * ne
 
     # dd strains K/2: per mode, EFT outer products per lane-half, exact sum.
     pha, pla = pha_ref[:, :], pla_ref[:, :]       # (ne, 128) A-half tables
     phb, plb = phb_ref[:, :], plb_ref[:, :]
     k_hi, k_lo = [], []
-    for a in range(3):
+    for a in range(na):
         acc_h = acc_l = None
         for e in range(ne):
             ca_h = qe_ref[:, a * ne + e:a * ne + e + 1]
@@ -1006,7 +1011,7 @@ def _kernel_pair_refined(qe_ref, wt_ref, pha_ref, pla_ref, phb_ref, plb_ref,
     bad_a = mx_a >= 3.96
     bad_b = mx_b >= 3.96
     if rho2_limit is not None:
-        k0, k1, k2 = k_hi
+        k0, k1, k2 = k_hi[:3]
         ss = k0 * k0 + k1 * k1 + k2 * k2
         ss_a, ss_b = half_max(ss)
         bad_a = bad_a | (ss_a > rho2_limit)
@@ -1026,8 +1031,8 @@ def _kernel_pair_refined(qe_ref, wt_ref, pha_ref, pla_ref, phb_ref, plb_ref,
         h0, l0 = dd.dd_add(h0, l0, *dd.dd_scale(*t1, s1))
         return dd.dd_add(h0, l0, *dd.dd_scale(*t2, s2))
 
-    k0h, k1h, k2h = k_hi
-    k0l, k1l, k2l = k_lo
+    k0h, k1h, k2h = k_hi[:3]
+    k0l, k1l, k2l = k_lo[:3]
     rows = [
         comb(-1.0, prod(k0h, k0l, sx), -1.0, prod(k1h, k1l, sy),
              -1.0, prod(k2h, k2l, sz)),
@@ -1052,19 +1057,12 @@ def _kernel_pair_refined(qe_ref, wt_ref, pha_ref, pla_ref, phb_ref, plb_ref,
     x_hi, x_lo = dd.two_sum(s, delta)
 
     # stage 4: dd tangent
-    xw_h, xx_h, xy_h, xz_h = (rk._wide_comp(x_hi, c) for c in range(4))
-    xw_l, xx_l, xy_l, xz_l = (rk._wide_comp(x_lo, c) for c in range(4))
-    yy = dd.dd_mul(xy_h, xy_l, xy_h, xy_l)
-    zz = dd.dd_mul(xz_h, xz_l, xz_h, xz_l)
-    xy = dd.dd_mul(xx_h, xx_l, xy_h, xy_l)
-    wz = dd.dd_mul(xw_h, xw_l, xz_h, xz_l)
-    xz = dd.dd_mul(xx_h, xx_l, xz_h, xz_l)
-    wy = dd.dd_mul(xw_h, xw_l, xy_h, xy_l)
-    one2 = jnp.full_like(xw_h, 2.0)
-    t0 = dd.dd_add_f32(*dd.dd_scale(*dd.dd_add(*yy, *zz), -4.0), one2)
-    t1 = dd.dd_scale(*dd.dd_add(*xy, *wz), 4.0)
-    t2 = dd.dd_scale(*dd.dd_add(*xz, *dd.dd_neg(*wy)), 4.0)
-    zero = jnp.zeros_like(xw_h)
+    q_dd = list(zip((rk._wide_comp(x_hi, c) for c in range(4)),
+                    (rk._wide_comp(x_lo, c) for c in range(4))))
+    gamma_half = ([(k_hi[3 + j], k_lo[3 + j]) for j in range(3)]
+                  if na == 6 else None)
+    t0, t1, t2 = _dd_tangent_rows(dd, q_dd, gamma_half)
+    zero = jnp.zeros_like(t0[0])
     b_hi = jnp.concatenate([t0[0], t1[0], t2[0], zero], axis=0)
     b_lo = jnp.concatenate([t0[1], t1[1], t2[1], zero], axis=0)
 
@@ -1223,8 +1221,6 @@ def _pair_dd_qes(qes, qes_lo, cfg):
 
 def _rod_shape_refined_kernel_pair(qes, qes_lo, cfg, iters, corr_iters,
                                    interpret, check_rho):
-    if cfg.na != 3:
-        raise ValueError("refined kernel: na=3 only (Kirchhoff strains)")
     qes2, b, b_pad, npts = _pair_dd_qes(qes, qes_lo, cfg)
     (_, _, _, _, _, g_rhs, rhs_hi, rhs_lo,
      wdt_planes, wdt_exp, wgt_planes, wgt_exp) = _pair_refined_constants(cfg)
@@ -1233,6 +1229,7 @@ def _rod_shape_refined_kernel_pair(qes, qes_lo, cfg, iters, corr_iters,
         wdt_exp=wdt_exp, wgt_exp=wgt_exp,
         rho2_limit=(None if check_rho is None
                     else float((check_rho / cfg.length) ** 2)),
+        na=cfg.na,
     )
     lanes = 2 * rk.WIDE_PAIR_HALF
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -1256,8 +1253,6 @@ def _rod_shape_refined_kernel_pair(qes, qes_lo, cfg, iters, corr_iters,
 def _rod_shape_refined_kernel_bc_pair(qes, q_init, r_init, qes_lo,
                                       q_init_lo, r_init_lo, cfg, iters,
                                       corr_iters, interpret, check_rho):
-    if cfg.na != 3:
-        raise ValueError("refined kernel: na=3 only (Kirchhoff strains)")
     qes2, b, b_pad, npts = _pair_dd_qes(qes, qes_lo, cfg)
     nb = b_pad // rk.WIDE_PAIR_RODS
 
@@ -1281,7 +1276,7 @@ def _rod_shape_refined_kernel_bc_pair(qes, q_init, r_init, qes_lo,
         wdt_exp=wdt_exp, wgt_exp=wgt_exp,
         rho2_limit=(None if check_rho is None
                     else float((check_rho / cfg.length) ** 2)),
-        bc=True,
+        bc=True, na=cfg.na,
     )
     lanes = 2 * rk.WIDE_PAIR_HALF
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),

@@ -149,11 +149,62 @@ def test_refined_fused_6dof_hits_gate():
                                           single_kernel=single)
         rel = np.max(np.abs(sol.positions_f64() - r_ref))             / np.max(np.abs(r_ref))
         assert rel < 1e-8, (single, rel)
-    # wide 6-DoF grids still route loudly away from the single kernel
-    with pytest.raises(ValueError, match="narrow layout"):
-        rod.rod_shape_refined_fused(
-            rod.split_strain(rng.standard_normal((4, 18)) * 0.1),
-            cfg=rod.RodConfig(n=64, na=6, ne=3), single_kernel=True)
+
+
+@pytest.mark.parametrize("n,iters", [(64, 24), (256, 28)])
+def test_single_refined_kernel_na6_wide_tiers(n, iters):
+    """na=6 Reissner on the wide-tier single refined kernels (VERDICT r2
+    next #1): n=64 rides the PAIRED layout, n=256 the multi-lane-tile WIDE
+    layout — both with the in-kernel dd Reissner tangent, <= 1e-8 rel vs
+    the f64 dense solve.  ≙ `/root/reference/include/utilities.h:27-37`
+    (`ad`) / rod_modeling.pdf ch. 1-2 made first-class at every grid size."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
+        refined_kernel,
+    )
+
+    cfg = rod.RodConfig(n=n, na=6, ne=3)
+    rng = np.random.default_rng(n)
+    qe64 = np.concatenate([0.5 * rng.standard_normal((3, 9)),
+                           0.15 * rng.standard_normal((3, 9))], axis=1)
+    qe_hi, qe_lo = rod.split_strain(qe64)
+    q_hi, q_lo, r_hi, r_lo = refined_kernel.rod_shape_refined_kernel(
+        jnp.asarray(qe_hi), qes_lo=jnp.asarray(qe_lo), cfg=cfg, iters=iters,
+        corr_iters=iters, interpret=True)
+    q = np.asarray(q_hi, np.float64) + np.asarray(q_lo, np.float64)
+    r = np.asarray(r_hi, np.float64) + np.asarray(r_lo, np.float64)
+    sol = rod.rod_shape(jnp.asarray(qe64), cfg=cfg, method="dense")
+    q_ref = np.asarray(sol.quaternions)
+    r_ref = np.asarray(sol.positions)
+    assert np.abs(q - q_ref).max() / np.abs(q_ref).max() < 1e-8
+    assert np.abs(r - r_ref).max() / np.abs(r_ref).max() < 1e-8
+
+
+def test_single_refined_kernel_bc_na6_paired():
+    """General-BC paired refined kernel at na=6 (n=64 grid): the junction
+    state enters in dd, gamma enters the in-kernel Reissner tangent."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
+        refined_kernel,
+    )
+
+    cfg = rod.RodConfig(n=64, na=6, ne=3)
+    rng = np.random.default_rng(9)
+    qe64 = np.concatenate([0.4 * rng.standard_normal((2, 9)),
+                           0.1 * rng.standard_normal((2, 9))], axis=1)
+    qe_hi, qe_lo = rod.split_strain(qe64)
+    q0 = rng.standard_normal((2, 4))
+    q0 /= np.linalg.norm(q0, axis=1, keepdims=True)
+    r0 = 0.3 * rng.standard_normal((2, 3))
+    b = refined_kernel.rod_shape_refined_kernel_bc(
+        jnp.asarray(qe_hi), jnp.asarray(q0, np.float32),
+        jnp.asarray(r0, np.float32), qes_lo=jnp.asarray(qe_lo), cfg=cfg,
+        iters=24, corr_iters=24, interpret=True)
+    qb = np.asarray(b[0], np.float64) + np.asarray(b[1], np.float64)
+    rb = np.asarray(b[2], np.float64) + np.asarray(b[3], np.float64)
+    solb = rod.rod_shape(jnp.asarray(qe64), q_init=jnp.asarray(q0),
+                         r_init=jnp.asarray(r0), cfg=cfg, method="dense")
+    # f32-rounded BCs bound the agreement (cf. the narrow-kernel BC gate)
+    assert np.abs(qb - np.asarray(solb.quaternions)).max() < 5e-7
+    assert np.abs(rb - np.asarray(solb.positions)).max() < 5e-7
 
 
 def test_single_refined_kernel_na6_matches_dense_f64():
