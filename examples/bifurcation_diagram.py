@@ -36,6 +36,7 @@ from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.model
 
 
 def main():
+    smoke = bool(os.environ.get("SPECTRAL_SMOKE"))
     stiff = (1.0, 1.0, 1.3)          # split y/z bending: simple eigenvalues
     cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16), stiffness=stiff)
     axial = (-1.0, 0.0, 0.0)
@@ -54,8 +55,9 @@ def main():
           np.round(np.asarray(path.lambdas), 3))
     print("unstable eigenvalue count:", stab.n_unstable)
 
-    cp = bifurcation.detect_critical_points(path, axial, cfg=cfg,
-                                            stability=stab)[0]
+    cp = bifurcation.detect_critical_points(
+        path, axial, cfg=cfg, stability=stab,
+        bisect_steps=10 if smoke else 48)[0]
     print(f"\ncritical point: kind={cp.kind}, lambda={cp.lam:.6f}, "
           f"left-null coupling={cp.coupling:.2e}")
 
@@ -67,6 +69,9 @@ def main():
         print(f"  direction {d:+.0f}: lambda="
               f"{np.round(np.asarray(br.lambdas), 3)} |qe|="
               f"{np.round(amps, 3)}")
+
+    if smoke:
+        return   # CI smoke stops before the (slow) Koiter unfolding study
 
     # Koiter unfolding: walk the complementary branch of the imperfect
     # column down through its fold nose.

@@ -21,8 +21,10 @@ from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.model
 
 
 def main():
+    smoke = bool(os.environ.get("SPECTRAL_SMOKE"))
     cfg = rod.RodConfig(n=12)
-    num_features, batch = 6, 512
+    num_features, batch = 6, (32 if smoke else 512)
+    epochs = 5 if smoke else 200
     rng = np.random.default_rng(0)
 
     # Ground truth: an unknown decoder generates tip targets.
@@ -35,9 +37,9 @@ def main():
     opt_state = optimizer.init(params)
     jit_step = jax.jit(step)
 
-    for epoch in range(200):
+    for epoch in range(epochs):
         params, opt_state, loss = jit_step(params, opt_state, feats, targets)
-        if epoch % 40 == 0 or epoch == 199:
+        if epoch % 40 == 0 or epoch == epochs - 1:
             print(f"epoch {epoch:3d}: loss {float(loss):.3e}")
 
     pred = calibration.predict_tips(params, feats[:4], cfg, iters=12)

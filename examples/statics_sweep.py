@@ -24,8 +24,10 @@ from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.utils
 def main():
     import jax
 
-    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=32))
-    alphas = [0.25, 0.5, 1.0, 1.5, 2.0, 3.0]  # F L^2 / EI
+    smoke = bool(os.environ.get("SPECTRAL_SMOKE"))
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16 if smoke else 32))
+    alphas = [0.25, 0.5] if smoke \
+        else [0.25, 0.5, 1.0, 1.5, 2.0, 3.0]   # F L^2 / EI
     loads = jnp.asarray([[0.0, 0.0, a] for a in alphas], jnp.float32)
     # tol chosen for the f32 device path (f64 oracle-grade statics runs on
     # the CPU backend, see tests); jit once, reuse across the schedule.
