@@ -52,6 +52,7 @@ __all__ = [
     "detect_critical_points",
     "linearized_buckling_loads",
     "switch_branch",
+    "switch_branch_batched",
 ]
 
 
@@ -305,3 +306,56 @@ def switch_branch(point: CriticalPoint, load_ref,
     x0 = jnp.asarray(np.concatenate([point.qe, [point.lam]]), dtype)
     t0 = jnp.asarray(np.concatenate([psi0, [0.0]]), dtype)
     return cosserat._riks_walk(tangent, corrector, x0, t0, ds, steps)
+
+
+def switch_branch_batched(qe_c, lam_c, null_vectors, load_refs,
+                          cfg: cosserat.StaticsConfig = cosserat.StaticsConfig(),
+                          tip_moment_refs=None, directions=1.0,
+                          ds: float = 0.1, steps: int = 20,
+                          tol: float = 2e-5, max_corrector: int = 10,
+                          psi_weight: float = 1.0, iters: int = 16,
+                          tile: int = None, interpret: bool = False,
+                          monitor_stability: bool = False,
+                          dd_residual: bool = False, dd_iters: int = 24,
+                          refine_steps: int = 2,
+                          ) -> cosserat.BatchedContinuationPath:
+    """Device-batched branch switching: a FAMILY of post-buckling walks in
+    ONE ``lax.scan`` (VERDICT r2 next #4 — :func:`switch_branch` walks the
+    host one path at a time).
+
+    ``qe_c (B, nq)`` / ``lam_c (B,)`` / ``null_vectors (B, nq)`` anchor
+    each sample at its critical point (e.g. the same detected branch point
+    replicated with ``directions = [+1, -1]`` for the two pitchfork
+    branches, or per-mode null vectors for a multi-mode study);
+    ``load_refs (B, 3)`` the per-sample load rays.  The first predictor
+    steps along the null direction — the Riks normal-plane constraint then
+    excludes the trivial branch exactly as in the host walker — and every
+    corrector iterate is one fused-kernel state+tangent evaluation over
+    the whole batch.  f32-grade at the default ``tol``;
+    ``dd_residual=True`` runs the dd corrector (1e-8-class walks, dd path
+    points in ``qes_lo``/``lambdas_lo``).
+    """
+    load_refs = jnp.asarray(load_refs, jnp.float32)
+    b = load_refs.shape[0]
+    nq = cfg.rod.na * cfg.rod.ne
+    if tip_moment_refs is None:
+        tip_moment_refs = jnp.zeros_like(load_refs)
+    tip_moment_refs = jnp.broadcast_to(
+        jnp.asarray(tip_moment_refs, jnp.float32), (b, 3))
+    if tile is None:
+        tile = cosserat._pick_tile(b, cfg.rod)
+
+    psi0 = jnp.asarray(null_vectors, jnp.float32)
+    psi0 = psi0 / jnp.linalg.norm(psi0, axis=1, keepdims=True)
+    psi0 = psi0 * jnp.broadcast_to(
+        jnp.asarray(directions, jnp.float32), (b,))[:, None]
+    lam_c = jnp.broadcast_to(jnp.asarray(lam_c, jnp.float32), (b,))
+    x = jnp.concatenate([jnp.asarray(qe_c, jnp.float32),
+                         lam_c[:, None]], axis=1)           # (B, nq+1)
+    t0 = jnp.concatenate([psi0, jnp.zeros((b, 1), jnp.float32)], axis=1)
+    # keller_init=False: the bordered tangent system is SINGULAR at a
+    # branch-point anchor — the null-vector seed IS the first tangent.
+    return cosserat._batched_riks_engine(
+        load_refs, tip_moment_refs, cfg, x, jnp.zeros_like(x), t0, False,
+        ds, steps, tol, max_corrector, psi_weight, iters, tile, interpret,
+        monitor_stability, dd_residual, dd_iters, refine_steps)

@@ -963,6 +963,149 @@ class BatchedContinuationPath(NamedTuple):
     converged: jnp.ndarray
     det_sign: jnp.ndarray = None
     log_abs_det: jnp.ndarray = None
+    qes_lo: jnp.ndarray = None     # dd low words (dd_residual walks)
+    lambdas_lo: jnp.ndarray = None
+
+
+def _batched_riks_engine(load_refs, tip_moment_refs, cfg: StaticsConfig,
+                         x, x_lo, t0, keller_init, ds, steps, tol,
+                         max_corrector, psi, iters, tile, interpret,
+                         monitor_stability, dd_residual, dd_iters,
+                         refine_steps) -> BatchedContinuationPath:
+    """Shared device-side Riks predictor-corrector scan.
+
+    Drives both :func:`arc_length_continuation_batched` (Keller-bordered
+    initial tangent from the anchor, ``keller_init=True``) and
+    ``bifurcation.switch_branch_batched`` (the null-vector seed ``t0`` is
+    used AS the first tangent — the bordered system is singular exactly at
+    a branch-point anchor, so no tangent solve happens there; subsequent
+    tangents come from the corrector's bordered matrix at points off the
+    singularity, as in the host ``_riks_walk``).
+    """
+    from ..ops import doubledouble as dd
+
+    b = load_refs.shape[0]
+    rc = cfg.rod
+    nq = rc.na * rc.ne
+    lref = load_refs[:, None, :]
+    mref = tip_moment_refs[:, None, :]
+
+    def res_jac_slope(qe, lam):
+        return _riks_res_jac_slope_fused(qe, lam, lref, mref, cfg, iters,
+                                         tile, interpret)
+
+    def res_dd(x_hi, x_lo_):
+        lam = x_hi[:, nq] + x_lo_[:, nq]
+        return equilibrium_residual_dd(
+            (x_hi[:, :nq], x_lo_[:, :nq]),
+            lam[:, None] * load_refs, lam[:, None] * tip_moment_refs,
+            cfg, iters=dd_iters, refine_steps=refine_steps)
+
+    def tangent(x_, t_prev):
+        # Keller bordering: [J, res_lam; t_prev-row] t = e_last.  Unlike
+        # the plain solve J dqe = -res_lam (which the host f64 walker
+        # uses), the bordered system stays well-conditioned THROUGH folds
+        # — essential in f32, where the near-singular J solve turns the
+        # tangent to noise just where the path needs it most — and
+        # t_prev . t = 1 > 0 preserves orientation with no flip logic.
+        _, jac, res_lam = res_jac_slope(x_[:, :nq], x_[:, nq])
+        top = jnp.concatenate([jac, res_lam[:, :, None]], axis=2)
+        border = jnp.concatenate(
+            [t_prev[:, None, :nq],
+             (psi ** 2 * t_prev[:, nq])[:, None, None]], axis=2)
+        a = jnp.concatenate([top, border], axis=1)   # (B, nq+1, nq+1)
+        rhs = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(1.0)
+        t = smallsolve.gauss_jordan_solve(a, rhs)
+        norm = jnp.sqrt(jnp.sum(t[:, :nq] ** 2, axis=1)
+                        + psi ** 2 * t[:, nq] ** 2)
+        return t / norm[:, None], jac
+
+    def aug_and_jac(x_pair, x_pred_pair, t):
+        x_hi, x_lo_ = x_pair
+        qe = x_hi[:, :nq]
+        lam = x_hi[:, nq] + x_lo_[:, nq]
+        res, jac, res_lam = res_jac_slope(qe, lam)
+        if dd_residual:
+            # The fused-path f32 residual comes free with the Jacobian but
+            # floors near 1e-5; the dd evaluation replaces it so the
+            # corrector's convergence test sees the TRUE residual.
+            res = res_dd(x_hi, x_lo_)
+        # Arc constraint on dd-centered differences: the hi-word difference
+        # of close iterates is near-exact (Sterbenz), the lo words carry
+        # the sub-ulp remainder.
+        dx = (x_hi - x_pred_pair[0]) + (x_lo_ - x_pred_pair[1])
+        c = (jnp.sum(t[:, :nq] * dx[:, :nq], axis=1)
+             + psi ** 2 * t[:, nq] * dx[:, nq])
+        aug = jnp.concatenate([res, c[:, None]], axis=1)      # (B, nq+1)
+        top = jnp.concatenate([jac, res_lam[:, :, None]], axis=2)
+        bottom = jnp.concatenate(
+            [t[:, None, :nq], (psi ** 2 * t[:, nq])[:, None, None]], axis=2)
+        return aug, jnp.concatenate([top, bottom], axis=1)    # (B, nq+1, nq+1)
+
+    def corrector(x_pred_pair, t):
+        aug0, jac0 = aug_and_jac(x_pred_pair, x_pred_pair, t)
+
+        def cond(state):
+            _, _, k, aug, _ = state
+            return jnp.logical_and(
+                k < max_corrector,
+                jnp.any(jnp.linalg.norm(aug, axis=1) > tol))
+
+        def body(state):
+            x_hi, x_lo_, k, aug, jac_aug = state
+            step = smallsolve.gauss_jordan_solve(jac_aug, aug)
+            active = (jnp.linalg.norm(aug, axis=1) > tol)[:, None]
+            step = jnp.where(active, step, 0.0)
+            # dd update: Newton steps shrink below the f32 ulp of x long
+            # before dd-grade tolerances bind.
+            x_hi, x_lo_ = dd.dd_add(x_hi, x_lo_, -step,
+                                    jnp.zeros_like(step))
+            aug, jac_aug = aug_and_jac((x_hi, x_lo_), x_pred_pair, t)
+            return x_hi, x_lo_, k + 1, aug, jac_aug
+
+        x_hi, x_lo_, _, aug, jac_aug = jax.lax.while_loop(
+            cond, body, (x_pred_pair[0], x_pred_pair[1],
+                         jnp.zeros((), jnp.int32), aug0, jac0))
+        return (x_hi, x_lo_), jnp.linalg.norm(aug, axis=1) <= tol, jac_aug
+
+    t = tangent(x, t0)[0] if keller_init else t0
+
+    def monitors(jac):
+        if not monitor_stability:
+            return (jnp.zeros((b,), jnp.float32),) * 2
+        return smallsolve.det_sign_logabs(jac)
+
+    def walk(state, _):
+        x_hi, x_lo_, t, ds_k = state
+        p_hi, p_lo = dd.dd_add(x_hi, x_lo_, ds_k[:, None] * t,
+                               jnp.zeros_like(t))
+        (n_hi, n_lo), ok, jac_aug = corrector((p_hi, p_lo), t)
+        x_hi = jnp.where(ok[:, None], n_hi, x_hi)
+        x_lo_ = jnp.where(ok[:, None], n_lo, x_lo_)
+        # Keller tangent straight from the corrector's final bordered
+        # matrix (its border row IS the previous tangent, and it was
+        # assembled at the returned x) — this reuse saves the standalone
+        # fused state+tangent evaluation per step, ~1/3 of the walk cost.
+        rhs = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(1.0)
+        t_cand = smallsolve.gauss_jordan_solve(jac_aug, rhs)
+        norm = jnp.sqrt(jnp.sum(t_cand[:, :nq] ** 2, axis=1)
+                        + psi ** 2 * t_cand[:, nq] ** 2)
+        t = jnp.where(ok[:, None], t_cand / norm[:, None], t)
+        ds_k = jnp.where(ok, jnp.minimum(ds, ds_k * 1.5), ds_k * 0.5)
+        sign, logabs = monitors(jac_aug[:, :nq, :nq])
+        return (x_hi, x_lo_, t, ds_k), (x_hi[:, nq], x_hi[:, :nq], ok, sign,
+                                        logabs, x_lo_[:, nq], x_lo_[:, :nq])
+
+    _, (lambdas, qes, conv, signs, logdets, lam_lo, qes_lo) = jax.lax.scan(
+        walk, (x, x_lo, t, jnp.full((b,), ds, jnp.float32)), None,
+        length=steps)
+    out = {}
+    if monitor_stability:
+        out.update(det_sign=signs, log_abs_det=logdets)
+    if dd_residual:
+        out.update(qes_lo=qes_lo, lambdas_lo=lam_lo)
+    return BatchedContinuationPath(lambdas=lambdas, qes=qes, converged=conv,
+                                   **out)
 
 
 def arc_length_continuation_batched(load_refs,
@@ -976,6 +1119,9 @@ def arc_length_continuation_batched(load_refs,
                                     interpret: bool = False,
                                     direction: float = 1.0,
                                     monitor_stability: bool = False,
+                                    dd_residual: bool = False,
+                                    dd_iters: int = 24,
+                                    refine_steps: int = 2,
                                     ) -> BatchedContinuationPath:
     """Device-batched Riks continuation over a FAMILY of load rays.
 
@@ -985,8 +1131,17 @@ def arc_length_continuation_batched(load_refs,
     (:func:`_riks_res_jac_slope_fused`), the augmented ``(nq+1)``-systems
     solve on the VPU (``ops/smallsolve``), and the outer walk is a
     ``lax.scan`` — the batched analogue of :func:`arc_length_continuation`
-    (which loops on the host, one path at a time, in f64).  f32-grade:
-    use ``tol`` ~1e-4..2e-5; for 1e-9-class paths run the host version.
+    (which loops on the host, one path at a time, in f64).
+
+    Plain f32 corrector: use ``tol`` ~1e-4..2e-5 (the f32 residual floors
+    near 1e-5 from O(1) cancellation).  ``dd_residual=True`` carries the
+    iterate as a double-word pair through the scan and evaluates the
+    corrector residual with :func:`equilibrium_residual_dd` (the f32 fused
+    Jacobian stays — Newton's self-correction does the rest): ``tol`` down
+    to ~1e-9 becomes meaningful, putting batched fold localization at the
+    same grade as the host f64 walker (one dd residual evaluation per
+    corrector iterate on top of the fused state+tangents, ~2x).  The dd
+    path points come back in ``qes_lo`` / ``lambdas_lo``.
 
     ``lambda_start`` may be a scalar or ``(B,)``; the anchor states are
     converged with load-controlled batched Newton before the walk.  Each
@@ -1007,105 +1162,23 @@ def arc_length_continuation_batched(load_refs,
     if tile is None:
         tile = _pick_tile(b, rc)
 
-    lref = load_refs[:, None, :]
-    mref = tip_moment_refs[:, None, :]
-
-    def res_jac_slope(qe, lam):
-        return _riks_res_jac_slope_fused(qe, lam, lref, mref, cfg, iters,
-                                         tile, interpret)
-
     # Anchor: load-controlled batched Newton at lambda_start.
     anchor = solve_statics_batched(
         lam0[:, None] * load_refs, lam0[:, None] * tip_moment_refs, cfg=cfg,
         qe0=qe0, tol=tol, max_iter=max_corrector, iters=iters, tile=tile,
-        interpret=interpret)
+        interpret=interpret, dd_residual=dd_residual, dd_iters=dd_iters,
+        refine_steps=refine_steps)
     x = jnp.concatenate([anchor.qe, lam0[:, None]], axis=1)   # (B, nq+1)
-
-    def tangent(x, t_prev):
-        # Keller bordering: [J, res_lam; t_prev-row] t = e_last.  Unlike
-        # the plain solve J dqe = -res_lam (which the host f64 walker
-        # uses), the bordered system stays well-conditioned THROUGH folds
-        # — essential in f32, where the near-singular J solve turns the
-        # tangent to noise just where the path needs it most — and
-        # t_prev . t = 1 > 0 preserves orientation with no flip logic.
-        _, jac, res_lam = res_jac_slope(x[:, :nq], x[:, nq])
-        top = jnp.concatenate([jac, res_lam[:, :, None]], axis=2)
-        border = jnp.concatenate(
-            [t_prev[:, None, :nq],
-             (psi ** 2 * t_prev[:, nq])[:, None, None]], axis=2)
-        a = jnp.concatenate([top, border], axis=1)   # (B, nq+1, nq+1)
-        rhs = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(1.0)
-        t = smallsolve.gauss_jordan_solve(a, rhs)
-        norm = jnp.sqrt(jnp.sum(t[:, :nq] ** 2, axis=1)
-                        + psi ** 2 * t[:, nq] ** 2)
-        return t / norm[:, None], jac
-
-    def aug_and_jac(x, x_pred, t):
-        qe, lam = x[:, :nq], x[:, nq]
-        res, jac, res_lam = res_jac_slope(qe, lam)
-        c = (jnp.sum(t[:, :nq] * (qe - x_pred[:, :nq]), axis=1)
-             + psi ** 2 * t[:, nq] * (lam - x_pred[:, nq]))
-        aug = jnp.concatenate([res, c[:, None]], axis=1)      # (B, nq+1)
-        top = jnp.concatenate([jac, res_lam[:, :, None]], axis=2)
-        bottom = jnp.concatenate(
-            [t[:, None, :nq], (psi ** 2 * t[:, nq])[:, None, None]], axis=2)
-        return aug, jnp.concatenate([top, bottom], axis=1)    # (B, nq+1, nq+1)
-
-    def corrector(x_pred, t):
-        aug0, jac0 = aug_and_jac(x_pred, x_pred, t)
-
-        def cond(state):
-            _, k, aug, _ = state
-            return jnp.logical_and(
-                k < max_corrector,
-                jnp.any(jnp.linalg.norm(aug, axis=1) > tol))
-
-        def body(state):
-            x, k, aug, jac_aug = state
-            step = smallsolve.gauss_jordan_solve(jac_aug, aug)
-            active = (jnp.linalg.norm(aug, axis=1) > tol)[:, None]
-            x = x - jnp.where(active, step, 0.0)
-            aug, jac_aug = aug_and_jac(x, x_pred, t)
-            return x, k + 1, aug, jac_aug
-
-        x, _, aug, jac_aug = jax.lax.while_loop(
-            cond, body, (x_pred, jnp.zeros((), jnp.int32), aug0, jac0))
-        return x, jnp.linalg.norm(aug, axis=1) <= tol, jac_aug
+    x_lo = jnp.zeros_like(x)
+    if dd_residual and anchor.qe_lo is not None:
+        x_lo = x_lo.at[:, :nq].set(anchor.qe_lo)
 
     t0 = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(
         jnp.float32(direction))
-    t, _ = tangent(x, t0)
-
-    def monitors(jac):
-        if not monitor_stability:
-            return (jnp.zeros((b,), jnp.float32),) * 2
-        return smallsolve.det_sign_logabs(jac)
-
-    def walk(state, _):
-        x, t, ds_k = state
-        x_pred = x + ds_k[:, None] * t
-        x_new, ok, jac_aug = corrector(x_pred, t)
-        x = jnp.where(ok[:, None], x_new, x)
-        # Keller tangent straight from the corrector's final bordered
-        # matrix (its border row IS the previous tangent, and it was
-        # assembled at the returned x) — this reuse saves the standalone
-        # fused state+tangent evaluation per step, ~1/3 of the walk cost.
-        rhs = jnp.zeros((b, nq + 1), jnp.float32).at[:, nq].set(1.0)
-        t_cand = smallsolve.gauss_jordan_solve(jac_aug, rhs)
-        norm = jnp.sqrt(jnp.sum(t_cand[:, :nq] ** 2, axis=1)
-                        + psi ** 2 * t_cand[:, nq] ** 2)
-        t = jnp.where(ok[:, None], t_cand / norm[:, None], t)
-        ds_k = jnp.where(ok, jnp.minimum(ds, ds_k * 1.5), ds_k * 0.5)
-        sign, logabs = monitors(jac_aug[:, :nq, :nq])
-        return (x, t, ds_k), (x[:, nq], x[:, :nq], ok, sign, logabs)
-
-    _, (lambdas, qes, conv, signs, logdets) = jax.lax.scan(
-        walk, (x, t, jnp.full((b,), ds, jnp.float32)), None, length=steps)
-    if not monitor_stability:
-        return BatchedContinuationPath(lambdas=lambdas, qes=qes,
-                                       converged=conv)
-    return BatchedContinuationPath(lambdas=lambdas, qes=qes, converged=conv,
-                                   det_sign=signs, log_abs_det=logdets)
+    return _batched_riks_engine(
+        load_refs, tip_moment_refs, cfg, x, x_lo, t0, True, ds, steps, tol,
+        max_corrector, psi, iters, tile, interpret, monitor_stability,
+        dd_residual, dd_iters, refine_steps)
 
 
 def load_continuation(tip_forces, tip_moments=None,

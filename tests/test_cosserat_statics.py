@@ -354,6 +354,40 @@ def test_batched_riks_matches_host_paths():
                                    np.asarray(host.qes), atol=2e-2)
 
 
+def test_batched_riks_dd_residual_tight_tol():
+    """dd-grade batched Riks (VERDICT r2 next #2): the corrector converges
+    at tol 1e-8 on device (the f32 tier floors near 1e-5), and the dd path
+    points agree with the host f64 dense walker at ~1e-6 — a 1000x
+    tightening of the f32-tier gate."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    load_refs = np.asarray([[0.0, 0.0, 0.6], [0.3, 0.0, 0.4]], np.float32)
+    batched = cosserat.arc_length_continuation_batched(
+        load_refs, cfg=cfg, ds=0.25, steps=5, tol=1e-8, max_corrector=20,
+        iters=16, interpret=True, dd_residual=True)
+    assert np.asarray(batched.converged).all()
+    lam = (np.asarray(batched.lambdas, np.float64)
+           + np.asarray(batched.lambdas_lo, np.float64))
+    qes = (np.asarray(batched.qes, np.float64)
+           + np.asarray(batched.qes_lo, np.float64))
+    for s in range(2):
+        host = cosserat.arc_length_continuation(
+            jnp.asarray(load_refs[s], jnp.float64), cfg=cfg, ds=0.25,
+            steps=5, tol=1e-11, method="dense")
+        assert np.asarray(host.converged).all()
+        np.testing.assert_allclose(lam[:, s], np.asarray(host.lambdas),
+                                   atol=1e-6)
+        np.testing.assert_allclose(qes[:, s], np.asarray(host.qes),
+                                   atol=1e-6)
+    # every dd path point is a 1e-8-grade equilibrium of the TRUE (f64)
+    # residual — the claim the f32 tier cannot make
+    for s in range(2):
+        r = cosserat.equilibrium_residual(
+            jnp.asarray(qes[-1, s], jnp.float64),
+            jnp.asarray(lam[-1, s] * load_refs[s], jnp.float64),
+            jnp.zeros(3, jnp.float64), cfg, iters=40, method="dense")
+        assert float(jnp.linalg.norm(r)) < 5e-8
+
+
 def test_batched_riks_traverses_fold_family():
     """A BATCH of imperfect-pitchfork load rays (two imperfection sizes)
     walked DOWN from a high anchor on the complementary branch: every
@@ -548,6 +582,36 @@ def test_equilibrium_residual_auto_routes_by_rho():
         q, f, m, cfg, method="dense"))(qe_big)
     np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_dense),
                                atol=1e-10)
+
+
+def test_equilibrium_residual_auto_mixed_rho_batch():
+    """VERDICT r2 next #8: a MIXED batch (one strong-curvature sample among
+    mild ones) routes the whole batch to the dense path — every sample must
+    then match its per-sample dense residual (the mild ones lose nothing:
+    dense == picard inside the validity domain).  Per-sample where-masking
+    was rejected by design: under jit's static shapes it would compute BOTH
+    branches for everyone (~11x) while batch-max routing pays the dense
+    cost (~10x) only when a batch actually contains an offender — see
+    docs/BENCHMARKS.md (auto-routing note)."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    f = jnp.asarray([[0.1, 0.0, 0.3]] * 3, jnp.float64)[:, None, :]
+    m = jnp.zeros(3, jnp.float64)
+    qe = jnp.zeros((3, 9), jnp.float64)
+    qe = qe.at[0, 4].set(1.0)        # rho ~ 0.9 (mild)
+    qe = qe.at[1, 3].set(14.0)       # rho = 7 (beyond the Picard domain)
+    qe = qe.at[2, 5].set(0.5)        # mild
+    r_auto = cosserat.equilibrium_residual(qe, f, m, cfg, method="auto")
+    r_dense = cosserat.equilibrium_residual(qe, f, m, cfg, method="dense")
+    np.testing.assert_allclose(np.asarray(r_auto), np.asarray(r_dense),
+                               atol=1e-12)
+    # and with NO offender the same call stays on the picard branch
+    qe_mild = qe.at[1, 3].set(0.3)
+    r_auto2 = cosserat.equilibrium_residual(qe_mild, f, m, cfg,
+                                            method="auto")
+    r_pic = cosserat.equilibrium_residual(qe_mild, f, m, cfg,
+                                          method="picard")
+    np.testing.assert_allclose(np.asarray(r_auto2), np.asarray(r_pic),
+                               atol=1e-14)
 
 
 def test_line_search_extends_cold_start_radius():
