@@ -50,7 +50,9 @@ __all__ = [
     "SegmentedStaticsConfig",
     "SegmentedStaticsSolution",
     "segmented_equilibrium_residual",
+    "segmented_residual_and_jacobian_fused",
     "solve_segmented_statics",
+    "solve_segmented_statics_batched",
 ]
 
 
@@ -130,6 +132,46 @@ def _chained_full_states(qe_segs, cfg: SegmentedStaticsConfig, iters, method):
     return qs, rs, sol.tip_position
 
 
+def _segment_residual_from_state(qe_s, q_full, r_full, r_tip, q_tip,
+                                 tip_force, tip_moment, seg, s,
+                                 cfg: SegmentedStaticsConfig):
+    """Segment ``s``'s weak-form balance residual from explicit kinematic
+    state — pure XLA, so direction tangents are plain ``jvp``s through it
+    (the solver-dependent part enters via the IFT tangents of the state;
+    cf. cosserat._residual_from_state)."""
+    dtype = qe_s.dtype
+    table = jnp.asarray(cfg.full_tables[s], dtype)         # (n_s, ne)
+    w = jnp.asarray(cfg.quad_weights[s], dtype)            # (n_s,)
+    h = jnp.asarray(cfg.stiffness_per_segment[s], dtype)   # (na,)
+
+    kappa = basis_ops.strain_at_points(qe_s, table)
+    if cfg.kappa0 is not None:
+        k0 = jnp.asarray(cfg.kappa0, dtype)[s]
+        kappa = kappa - basis_ops.strain_at_points(k0, table)
+
+    tf = jnp.asarray(tip_force, dtype)
+    if cfg.follower:
+        # Rotate the body-frame tip force at the CURRENT global tip
+        # orientation (couples every segment to the last one's state).
+        tf = lie.quat_rotate_normalized(
+            q_tip, jnp.broadcast_to(tf, q_tip.shape[:-1] + (3,)))
+
+    arm = r_tip[..., None, :] - r_full                     # (..., n_s, 3)
+    f = jnp.broadcast_to(tf[..., None, :], arm.shape)
+    world_moment = jnp.cross(arm, f) + jnp.asarray(tip_moment,
+                                                   dtype)[..., None, :]
+    # quaternion-vector body transport (see cosserat._residual_from_state)
+    tau = lie.quat_rotate_inv_normalized(q_full, world_moment)
+    if seg.na == 6:
+        n_body = lie.quat_rotate_inv_normalized(q_full, f)
+        tau = jnp.concatenate([tau, n_body], axis=-1)
+
+    mr = h * kappa - tau                                   # (..., n_s, na)
+    r_s = jnp.einsum("j,je,...ja->...ae", w, table, mr,
+                     precision="highest")
+    return r_s.reshape(r_s.shape[:-2] + (seg.na * seg.ne,))
+
+
 def segmented_equilibrium_residual(qe_segs, tip_force, tip_moment,
                                    cfg: SegmentedStaticsConfig,
                                    iters: int = 24,
@@ -140,40 +182,263 @@ def segmented_equilibrium_residual(qe_segs, tip_force, tip_moment,
     tip_force = jnp.asarray(tip_force, dtype)
     tip_moment = jnp.asarray(tip_moment, dtype)
     qs, rs, r_tip = _chained_full_states(qe_segs, cfg, iters, method)
-    h_all = cfg.stiffness_per_segment
-
-    if cfg.follower:
-        # Rotate the body-frame tip force at the CURRENT global tip
-        # orientation (tip = point 0 of the last segment's full grid).
-        tip_force = lie.quat_rotate_normalized(
-            qs[-1][..., 0, :],
-            jnp.broadcast_to(tip_force, qs[-1][..., 0, :3].shape))
+    q_tip = qs[-1][..., 0, :]
 
     res = []
     for s, seg in enumerate(cfg.rods.segments):
-        table = jnp.asarray(cfg.full_tables[s], dtype)     # (n_s, ne)
-        w = jnp.asarray(cfg.quad_weights[s], dtype)        # (n_s,)
-        h = jnp.asarray(h_all[s], dtype)                   # (na,)
-
-        kappa = basis_ops.strain_at_points(qe_segs[..., s, :], table)
-        if cfg.kappa0 is not None:
-            k0 = jnp.asarray(cfg.kappa0, dtype)[s]
-            kappa = kappa - basis_ops.strain_at_points(k0, table)
-
-        arm = r_tip[..., None, :] - rs[s]                  # (..., n_s, 3)
-        f = jnp.broadcast_to(tip_force[..., None, :], arm.shape)
-        world_moment = jnp.cross(arm, f) + tip_moment[..., None, :]
-        # quaternion-vector body transport (see cosserat._residual_from_state)
-        tau = lie.quat_rotate_inv_normalized(qs[s], world_moment)
-        if seg.na == 6:
-            n_body = lie.quat_rotate_inv_normalized(qs[s], f)
-            tau = jnp.concatenate([tau, n_body], axis=-1)
-
-        mr = h * kappa - tau                               # (..., n_s, na)
-        r_s = jnp.einsum("j,je,...ja->...ae", w, table, mr,
-                         precision="highest")
-        res.append(r_s.reshape(r_s.shape[:-2] + (seg.na * seg.ne,)))
+        res.append(_segment_residual_from_state(
+            qe_segs[..., s, :], qs[s], rs[s], r_tip, q_tip,
+            tip_force, tip_moment, seg, s, cfg))
     return jnp.stack(res, axis=-2)
+
+
+def _segmented_fused_state_and_tangents(qe, cfg: SegmentedStaticsConfig,
+                                        iters, jac_iters, interpret):
+    """Chained primal state + IFT direction tangents on the fused path.
+
+    ``qe (B, S, nq)`` -> per-segment full-grid states and direction-tangent
+    tables for ALL ``S*nq`` strain directions, with every solve a fused
+    Pallas kernel (the multi-segment analogue of
+    cosserat._fused_state_and_tangents).  The chain structure makes the
+    linearization triangular — perturbing segment ``s'`` moves segments
+    ``s >= s'`` only:
+
+    * own-strain directions solve the segment's linearized ODE with
+      homogeneous BC (``picard_correction_fused`` of ``1/2 A(dK) q``);
+    * upstream directions enter ONLY through the junction: the quaternion
+      ODE is linear in its initial value, so the downstream tangent is the
+      same correction kernel applied to the BC rhs ``-(dn_in (x) dq_jct)``
+      (and the position quadrature picks up ``-(dn_in (x) dr_jct)``).
+
+    Segment ``s`` therefore carries ``(s+1)*nq`` active direction tables;
+    directions from further-tip segments are identically zero and never
+    computed.
+    """
+    from ..ops.pallas import rod_kernel as rk
+    from . import cosserat as _cs
+
+    rods = cfg.rods
+    b = qe.shape[0]
+    na = rods.segments[0].na
+    ne = rods.segments[0].ne
+    nq = na * ne
+    nk = 3 * ne                      # curvature directions (gamma: dM = 0)
+
+    q0 = jnp.broadcast_to(jnp.asarray(rod.DEFAULT_Q_INIT, jnp.float32),
+                          (b, 4))
+    r0 = jnp.zeros((b, 3), jnp.float32)
+    dq_j = dr_j = None               # junction tangents ((s*nq), B, 4/3)
+    q_fulls, r_fulls, dq_fulls, dr_fulls = [], [], [], []
+    for s, seg in enumerate(rods.segments):
+        npts = seg.grid.num_unknown
+        qe_s = qe[:, s, :]
+        tile_p = _cs._pick_tile(b, seg)
+        q_unk, r_unk = rk.rod_shape_fused_bc(qe_s, q0, r0, cfg=seg,
+                                             iters=iters, tile=tile_p,
+                                             interpret=interpret)
+        q_full = jnp.concatenate([q_unk, q0[:, None, :]], axis=1)
+        r_full = jnp.concatenate([r_unk, r0[:, None, :]], axis=1)
+
+        ndir = (s + 1) * nq
+        table = jnp.asarray(seg.basis_table, jnp.float32)    # (npts, ne)
+        eye_a = jnp.eye(na, dtype=jnp.float32)
+        # axes must stay (a, e, p, b) before the (a, e)-fold — the
+        # scrambled variant cost a 31% Jacobian error in round 2.
+        dk_dirs = jnp.einsum("ab,pe->aepb", eye_a,
+                             table).reshape(nq, npts, na)
+        dn_in = jnp.asarray(seg.grid.dn_in, jnp.float32)     # (npts,)
+
+        # Quaternion-tangent rhs, stacked [upstream dirs ; own dirs].
+        rhs_list = []
+        if s > 0:
+            rhs_list.append(-dn_in[None, None, :, None]
+                            * dq_j[:, :, None, :])     # (s*nq, B, npts, 4)
+        dm = 0.5 * lie.quat_skew(dk_dirs[:nk, :, :3])  # (nk, npts, 4, 4)
+        rhs_own = jnp.einsum("jice,bie->jbic", dm, q_unk)
+        if nq > nk:
+            rhs_own = jnp.concatenate(
+                [rhs_own, jnp.zeros((nq - nk, b, npts, 4), jnp.float32)],
+                axis=0)
+        rhs_list.append(rhs_own)
+        rhs = jnp.concatenate(rhs_list, axis=0)        # (ndir, B, npts, 4)
+        tile_c = _cs._pick_tile(ndir * b, seg)
+        dq_dirs = rk.picard_correction_fused(
+            jnp.tile(qe_s, (ndir, 1)), rhs.reshape(ndir * b, npts, 4),
+            cfg=seg, iters=jac_iters, tile=tile_c, interpret=interpret,
+        ).reshape(ndir, b, npts, 4)
+
+        # Position tangents: dr = G (db - dn_in (x) dr_jct).
+        if na == 6:
+            gamma = basis_ops.strain_at_points(qe_s, table)[..., 3:]
+            e1 = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+
+            def b_fn(qq, gg):
+                return jnp.einsum("...ij,...j->...i", lie.quat_to_rot(qq),
+                                  e1 + gg)
+
+            dg_own = jnp.broadcast_to(dk_dirs[:, None, :, 3:],
+                                      (nq, b, npts, 3))
+            dgamma = (jnp.concatenate(
+                [jnp.zeros((ndir - nq, b, npts, 3), jnp.float32), dg_own],
+                axis=0) if s > 0 else dg_own)
+            db = jax.vmap(
+                lambda dqj, dgj: jax.jvp(b_fn, (q_unk, gamma),
+                                         (dqj, dgj))[1]
+            )(dq_dirs, dgamma)
+        else:
+            db = jax.vmap(
+                lambda dqj: jax.jvp(lie.quat_tangent, (q_unk,), (dqj,))[1]
+            )(dq_dirs)
+        if s > 0:
+            dr_bc = jnp.concatenate(
+                [dr_j, jnp.zeros((nq, b, 3), jnp.float32)], axis=0)
+            db = db - dn_in[None, None, :, None] * dr_bc[:, :, None, :]
+        ginv = jnp.asarray(seg.grid.ginv_f32)
+        dr_dirs = jnp.einsum("ip,jbpc->jbic", ginv, db,
+                             precision="highest")
+
+        # Full-grid tangents: the segment's base point carries the
+        # junction tangent (zero for its own directions).
+        if s > 0:
+            dq_base = jnp.concatenate(
+                [dq_j, jnp.zeros((nq, b, 4), jnp.float32)], axis=0)
+            dr_base = jnp.concatenate(
+                [dr_j, jnp.zeros((nq, b, 3), jnp.float32)], axis=0)
+        else:
+            dq_base = jnp.zeros((ndir, b, 4), jnp.float32)
+            dr_base = jnp.zeros((ndir, b, 3), jnp.float32)
+        dq_fulls.append(jnp.concatenate([dq_dirs, dq_base[:, :, None, :]],
+                                        axis=2))
+        dr_fulls.append(jnp.concatenate([dr_dirs, dr_base[:, :, None, :]],
+                                        axis=2))
+        q_fulls.append(q_full)
+        r_fulls.append(r_full)
+
+        # Next junction state/tangents: the segment tip (point 0).
+        q0, r0 = q_unk[:, 0, :], r_unk[:, 0, :]
+        dq_j = dq_dirs[:, :, 0, :]
+        dr_j = dr_dirs[:, :, 0, :]
+    return q_fulls, r_fulls, dq_fulls, dr_fulls
+
+
+def segmented_residual_and_jacobian_fused(qe, tip_force, tip_moment,
+                                          cfg: SegmentedStaticsConfig,
+                                          iters: int = 16,
+                                          jac_iters: int | None = None,
+                                          interpret: bool = False):
+    """Batched residual + exact Jacobian of the CHAINED statics system on
+    the fused path: ``qe (B, S, nq)`` -> ``(res (B, S*nq),
+    jac (B, S*nq, S*nq))`` — the kernel-lifted IFT that replaces
+    ``jacfwd`` through the chained Picard solves (VERDICT r2 next #3)."""
+    if jac_iters is None:
+        jac_iters = iters
+    rods = cfg.rods
+    s_count = rods.num_segments
+    b = qe.shape[0]
+    nq = rods.segments[0].na * rods.segments[0].ne
+    flat = s_count * nq
+    q_fulls, r_fulls, dq_fulls, dr_fulls = _segmented_fused_state_and_tangents(
+        qe, cfg, iters, jac_iters, interpret)
+    r_tip = r_fulls[-1][:, 0, :]
+    q_tip = q_fulls[-1][:, 0, :]
+    # Tip tangents cover ALL directions (the last segment sees every one).
+    dr_tip = dr_fulls[-1][:, :, 0, :]                     # (S*nq, B, 3)
+    dq_tip = dq_fulls[-1][:, :, 0, :]
+
+    res_rows, jac_rows = [], []
+    for s, seg in enumerate(rods.segments):
+        def f(qe_s_, q_, r_, rtip_, qtip_, _s=s, _seg=seg):
+            return _segment_residual_from_state(
+                qe_s_, q_, r_, rtip_, qtip_, tip_force, tip_moment,
+                _seg, _s, cfg)
+
+        res_s, f_lin = jax.linearize(f, qe[:, s, :], q_fulls[s], r_fulls[s],
+                                     r_tip, q_tip)
+        ndir = dq_fulls[s].shape[0]
+        pad = flat - ndir
+        npts1 = q_fulls[s].shape[1]
+        dq_d = jnp.concatenate(
+            [dq_fulls[s], jnp.zeros((pad, b, npts1, 4), jnp.float32)],
+            axis=0)
+        dr_d = jnp.concatenate(
+            [dr_fulls[s], jnp.zeros((pad, b, npts1, 3), jnp.float32)],
+            axis=0)
+        # dqe_s one-hots: direction (s', j) touches qe_s iff s' == s.
+        eye = jnp.eye(flat, dtype=jnp.float32)[:, s * nq:(s + 1) * nq]
+        dqe_d = jnp.broadcast_to(eye[:, None, :], (flat, b, nq))
+
+        dres = jax.vmap(f_lin)(dqe_d, dq_d, dr_d, dr_tip, dq_tip)
+        res_rows.append(res_s)                            # (B, nq)
+        jac_rows.append(jnp.moveaxis(dres, 0, -1))        # (B, nq, flat)
+    return (jnp.concatenate(res_rows, axis=1),
+            jnp.concatenate(jac_rows, axis=1))
+
+
+def solve_segmented_statics_batched(tip_force, tip_moment=None,
+                                    cfg: SegmentedStaticsConfig = SegmentedStaticsConfig(),
+                                    qe0=None, tol: float = 1e-5,
+                                    max_iter: int = 12,
+                                    damping: float = 1.0, iters: int = 16,
+                                    jac_iters: int = 8,
+                                    interpret: bool = False,
+                                    ) -> SegmentedStaticsSolution:
+    """Natively-batched Newton for multi-segment statics on the fused tier.
+
+    ``tip_force (B, 3)`` -> converged strains ``(B, S, nq)``.  Every inner
+    solve is a VMEM-resident Pallas kernel over the whole batch (one fused
+    BC chain + one direction-stacked fused correction chain per Newton
+    step) — the multi-segment analogue of
+    ``cosserat.solve_statics_batched``, an order of magnitude past the
+    ``jacfwd``-through-the-chain host tier.  f32-grade (tol ~1e-5).
+    """
+    from ..ops import smallsolve as _ss
+
+    tip_force = jnp.asarray(tip_force, jnp.float32)
+    b = tip_force.shape[0]
+    rods = cfg.rods
+    s_count = rods.num_segments
+    nq = rods.segments[0].na * rods.segments[0].ne
+    flat = s_count * nq
+    if tip_moment is None:
+        tip_moment = jnp.zeros(3, jnp.float32)
+    tip_moment = jnp.asarray(tip_moment, jnp.float32)
+    tm = tip_moment if tip_moment.ndim > 1 else tip_moment[None, :]
+    if qe0 is None:
+        if cfg.kappa0 is not None:
+            qe0 = jnp.broadcast_to(jnp.asarray(cfg.kappa0, jnp.float32),
+                                   (b, s_count, nq))
+        else:
+            qe0 = jnp.zeros((b, s_count, nq), jnp.float32)
+    qe0 = jnp.asarray(qe0, jnp.float32)
+
+    def res_jac(qe_flat):
+        qe = qe_flat.reshape(b, s_count, nq)
+        return segmented_residual_and_jacobian_fused(
+            qe, tip_force, tm, cfg, iters=iters,
+            jac_iters=jac_iters, interpret=interpret)
+
+    def cond(state):
+        _, k, res, _ = state
+        return jnp.logical_and(
+            k < max_iter,
+            jnp.any(jnp.linalg.norm(res, axis=-1) > tol))
+
+    def body(state):
+        qe_flat, k, res, jac = state
+        step = _ss.gauss_jordan_solve(jac, res)
+        active = (jnp.linalg.norm(res, axis=-1) > tol)[:, None]
+        qe_flat = qe_flat - jnp.where(active, damping * step, 0.0)
+        res, jac = res_jac(qe_flat)
+        return qe_flat, k + 1, res, jac
+
+    qe_flat0 = qe0.reshape(b, flat)
+    res0, jac0 = res_jac(qe_flat0)
+    qe_flat, k, res, _ = jax.lax.while_loop(
+        cond, body, (qe_flat0, jnp.zeros((), jnp.int32), res0, jac0))
+    rnorm = jnp.linalg.norm(res, axis=-1)
+    return SegmentedStaticsSolution(
+        qe=qe_flat.reshape(b, s_count, nq),
+        iterations=k, residual_norm=rnorm, converged=rnorm <= tol)
 
 
 def solve_segmented_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),

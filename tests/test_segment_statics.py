@@ -119,6 +119,65 @@ def test_vmap_over_load_batch():
                                atol=1e-8)
 
 
+def test_segmented_fused_jacobian_matches_jacfwd():
+    """Kernel-lifted IFT for the chained system (VERDICT r2 next #3): the
+    fused res+jac equals jacfwd through the chained f64 dense solves at
+    LARGE amplitude (converged-value tests cannot see direction-table
+    scrambles — the round-2 lesson)."""
+    cfg = segment_statics.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(2, n=16),
+        stiffness=((1.0, 1.0, 1.3), (1.0, 0.7, 1.0)))
+    rng = np.random.default_rng(0)
+    qe = jnp.asarray(rng.standard_normal((3, 2, 9)) * 0.8, jnp.float32)
+    tf = jnp.asarray(rng.standard_normal((3, 3)) * 0.5, jnp.float32)
+    tm = jnp.zeros((3, 3), jnp.float32)
+    res_f, jac_f = segment_statics.segmented_residual_and_jacobian_fused(
+        qe, tf, tm, cfg, iters=30, jac_iters=30, interpret=True)
+
+    def resid(qf, f):
+        r = segment_statics.segmented_equilibrium_residual(
+            qf.reshape(2, 9), f, jnp.zeros(3, jnp.float64), cfg,
+            iters=40, method="dense")
+        return r.reshape(18)
+
+    for i in range(3):
+        q64 = jnp.asarray(np.asarray(qe[i]).reshape(18), jnp.float64)
+        f64 = jnp.asarray(np.asarray(tf[i]), jnp.float64)
+        jac_ref = jax.jacfwd(lambda q: resid(q, f64))(q64)
+        scale = np.abs(np.asarray(jac_ref)).max()
+        err = np.abs(np.asarray(jac_f[i]) - np.asarray(jac_ref)).max()
+        assert err / scale < 1e-4, (i, err / scale)
+        rerr = np.abs(np.asarray(res_f[i]) - np.asarray(resid(q64, f64))).max()
+        assert rerr < 2e-5, (i, rerr)
+
+
+def test_solve_segmented_statics_batched_matches_host():
+    """The batched fused-tier multi-segment Newton reproduces the host
+    jacfwd tier, and the piecewise-exact tip-couple law rides along."""
+    cfg = segment_statics.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(2, n=16),
+        stiffness=((1.0, 2.0, 2.0), (1.0, 1.0, 1.0)))
+    loads = np.asarray([[0.0, 0.0, 0.5], [0.2, 0.0, 0.3],
+                        [0.0, -0.3, 0.4], [0.1, 0.1, -0.2]], np.float32)
+    sol = segment_statics.solve_segmented_statics_batched(
+        jnp.asarray(loads), cfg=cfg, tol=1e-5, max_iter=12, iters=20,
+        jac_iters=10, interpret=True)
+    assert np.asarray(sol.converged).all()
+    for i in range(4):
+        ref = segment_statics.solve_segmented_statics(
+            jnp.asarray(loads[i], jnp.float64), cfg=cfg, tol=1e-11)
+        np.testing.assert_allclose(np.asarray(sol.qe)[i],
+                                   np.asarray(ref.qe), atol=2e-5)
+    # pure tip couple: kappa_s = M / EI_s exactly, now on the batched tier
+    m = segment_statics.solve_segmented_statics_batched(
+        jnp.zeros((1, 3)), tip_moment=jnp.asarray([0.0, 0.6, 0.0]),
+        cfg=cfg, tol=1e-6, iters=20, jac_iters=10, interpret=True)
+    assert np.asarray(m.converged).all()
+    qe = np.asarray(m.qe)[0]
+    np.testing.assert_allclose(qe[0, 3], 0.6 / 2.0, atol=1e-5)
+    np.testing.assert_allclose(qe[1, 3], 0.6 / 1.0, atol=1e-5)
+
+
 def test_follower_tip_force_differs():
     cfg_d = _cfg(num=2, n=16)
     cfg_f = _cfg(num=2, n=16, follower=True)
