@@ -26,6 +26,8 @@ __all__ = [
     "replicate",
     "sharded_rod_shape",
     "sharded_solve_statics",
+    "sharded_segmented_statics",
+    "sharded_riks_walk",
 ]
 
 RODS_AXIS = "rods"
@@ -141,3 +143,90 @@ def sharded_solve_statics(mesh: Mesh, cfg=None, **kwargs):
                                         residual_norm=rnorm, converged=conv)
 
     return solve
+
+
+def sharded_segmented_statics(mesh: Mesh, cfg=None, **kwargs):
+    """Multi-chip batched MULTI-SEGMENT statics: ``loads (B, 3)`` ->
+    :class:`~.segment_statics.SegmentedStaticsSolution` with ``qe``
+    ``(B, S, nq)``.  Each chip runs the fused-tier chained Newton
+    (``solve_segmented_statics_batched``) on its local slab — segments
+    chain WITHIN a chip (the junction trace is a local value), rods stay
+    embarrassingly parallel across chips."""
+    import jax.numpy as jnp
+
+    from ..models import segment_statics
+
+    if cfg is None:
+        cfg = segment_statics.SegmentedStaticsConfig()
+
+    def local(loads):
+        sol = segment_statics.solve_segmented_statics_batched(
+            loads, cfg=cfg, **kwargs)
+        iters = jnp.full(loads.shape[:1], sol.iterations)
+        return sol.qe, iters, sol.residual_norm, sol.converged
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(RODS_AXIS, None),
+        out_specs=(P(RODS_AXIS, None, None), P(RODS_AXIS), P(RODS_AXIS),
+                   P(RODS_AXIS)),
+        check_vma=False,      # pallas_call carries no varying-axes info
+    )
+    batch_spec = NamedSharding(mesh, P(RODS_AXIS, None))
+    jitted = jax.jit(step, in_shardings=batch_spec)
+
+    def solve(loads):
+        qe, iters, rnorm, conv = jitted(loads)
+        return segment_statics.SegmentedStaticsSolution(
+            qe=qe, iterations=iters, residual_norm=rnorm, converged=conv)
+
+    return solve
+
+
+def sharded_riks_walk(mesh: Mesh, cfg=None, dd_residual: bool = False,
+                      **kwargs):
+    """Multi-chip batched Riks continuation: ``load_refs (B, 3)`` ->
+    :class:`~.cosserat.BatchedContinuationPath` with the SAMPLE axis (axis
+    1 of every ``(steps, B, ...)`` output) sharded over the mesh.  Each
+    chip scans its own family of load rays — paths are independent, so the
+    device-resident walk needs no collectives.  ``dd_residual=True`` runs
+    the dd corrector per shard (the 1e-8-grade tier under sharding)."""
+    from ..models import cosserat
+
+    if cfg is None:
+        cfg = cosserat.StaticsConfig()
+
+    def local(load_refs):
+        path = cosserat.arc_length_continuation_batched(
+            load_refs, cfg=cfg, dd_residual=dd_residual, **kwargs)
+        out = (path.lambdas, path.qes, path.converged)
+        if dd_residual:
+            out = out + (path.lambdas_lo, path.qes_lo)
+        return out
+
+    out_specs = (P(None, RODS_AXIS), P(None, RODS_AXIS, None),
+                 P(None, RODS_AXIS))
+    if dd_residual:
+        out_specs = out_specs + (P(None, RODS_AXIS),
+                                 P(None, RODS_AXIS, None))
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(RODS_AXIS, None),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    jitted = jax.jit(step,
+                     in_shardings=NamedSharding(mesh, P(RODS_AXIS, None)))
+
+    def walk(load_refs):
+        out = jitted(load_refs)
+        if dd_residual:
+            lam, qes, conv, lam_lo, qes_lo = out
+            return cosserat.BatchedContinuationPath(
+                lambdas=lam, qes=qes, converged=conv,
+                lambdas_lo=lam_lo, qes_lo=qes_lo)
+        lam, qes, conv = out
+        return cosserat.BatchedContinuationPath(lambdas=lam, qes=qes,
+                                                converged=conv)
+
+    return walk
