@@ -182,6 +182,40 @@ def main():
 
     dt_statics64 = _measure(jax.jit(statics64_step), loads64, reps=3)
 
+    # 6-DoF Reissner strains on the PAIRED single refined kernel (r3: the
+    # dd Reissner tangent covers every layout tier; measured ~free vs na=3).
+    cfg6 = rod.RodConfig(n=64, na=6, ne=3)
+    b6 = min(batch, 8192) if not interpret else min(batch // 2, 1024)
+    qes6 = jnp.concatenate([0.5 * qes[:b6], 0.15 * qes[:b6]], axis=1)
+
+    def reissner64_step(q):
+        sol = rod.rod_shape_refined_fused(q, cfg=cfg6, refine_steps=1,
+                                          iters=24, corr_iters=24,
+                                          interpret=interpret)
+        return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
+
+    dt_reissner64 = _measure(jax.jit(reissner64_step), qes6, reps=5)
+
+    # Multi-segment statics on the fused tier (r3 kernel-lifted IFT:
+    # 12-13x the jacfwd-through-the-chain tier on v5e).
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        segment_statics,
+        segments,
+    )
+
+    seg_cfg = segment_statics.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(2, n=16),
+        stiffness=((1.0, 2.0, 2.0), (1.0, 1.0, 1.0)))
+    seg_loads = loads[:min(loads.shape[0],
+                           8192 if not interpret else 512)]
+
+    def seg_statics_step(fl):
+        return jnp.sum(segment_statics.solve_segmented_statics_batched(
+            fl, cfg=seg_cfg, tol=1e-5, max_iter=10, iters=16, jac_iters=8,
+            interpret=interpret).qe)
+
+    dt_seg = _measure(jax.jit(seg_statics_step), seg_loads, reps=3)
+
     # Native C++ CPU baseline (reference algorithm, OpenMP threads).
     cpu_baseline = None
     try:
@@ -221,6 +255,10 @@ def main():
             "statics_bvp_solves_per_sec": round(loads.shape[0] / dt_statics, 1),
             "statics_n64_bvp_solves_per_sec": round(
                 loads64.shape[0] / dt_statics64, 1),
+            "reissner6dof_n64_solves_per_sec": round(
+                qes6.shape[0] / dt_reissner64, 1),
+            "segmented_statics_bvp_solves_per_sec": round(
+                seg_loads.shape[0] / dt_seg, 1),
             "rel_linf_error_vs_f64_reference": rel_err,
             "accuracy_gate_1e-8": rel_err <= 1e-8,
             "cpu_reference_baseline": cpu_baseline,
