@@ -400,8 +400,24 @@ def equilibrium_residual_dd(qe, tip_force, tip_moment, cfg: StaticsConfig,
     tip_force = jnp.asarray(tip_force, jnp.float32)
     tip_moment = jnp.asarray(tip_moment, jnp.float32)
     shape = arm[0][0].shape
-    f = [(jnp.broadcast_to(tip_force[..., i][..., None], shape),
-          jnp.zeros(shape, jnp.float32)) for i in range(3)]
+    if cfg.follower:
+        # F_world = R(q_tip) F_body at the dd tip rotation (tip = point 0;
+        # the dd tier previously ignored `follower` silently).
+        rc_t = rod._rot_cols_dd(q_hi[..., 0, :], q_lo[..., 0, :])
+        fg = []
+        for i in range(3):
+            acc = dd.dd_mul_f32(*rc_t[0][i], tip_force[..., 0])
+            acc = dd.dd_add(*acc,
+                            *dd.dd_mul_f32(*rc_t[1][i], tip_force[..., 1]))
+            acc = dd.dd_add(*acc,
+                            *dd.dd_mul_f32(*rc_t[2][i], tip_force[..., 2]))
+            fg.append(acc)
+        f = [(jnp.broadcast_to(fg[i][0][..., None], shape),
+              jnp.broadcast_to(fg[i][1][..., None], shape))
+             for i in range(3)]
+    else:
+        f = [(jnp.broadcast_to(tip_force[..., i][..., None], shape),
+              jnp.zeros(shape, jnp.float32)) for i in range(3)]
     m_world = cross_dd(arm, f)
     m_world = [dd.dd_add_f32(*m_world[i],
                              jnp.broadcast_to(tip_moment[..., i][..., None],

@@ -50,6 +50,7 @@ __all__ = [
     "SegmentedStaticsConfig",
     "SegmentedStaticsSolution",
     "segmented_equilibrium_residual",
+    "segmented_equilibrium_residual_dd",
     "segmented_residual_and_jacobian_fused",
     "solve_segmented_statics",
     "solve_segmented_statics_batched",
@@ -102,12 +103,29 @@ class SegmentedStaticsConfig:
         return tuple(chebyshev.clenshaw_curtis_weights(seg.n, seg.length)
                      for seg in self.rods.segments)
 
+    @functools.cached_property
+    def full_tables_dd(self):
+        from ..ops import doubledouble as dd
+
+        return tuple(dd.split_f64(t) for t in self.full_tables)
+
+    @functools.cached_property
+    def weighted_tables_dd(self):
+        """Per-segment dd splits of ``w_j P_e(x_j)`` (weak-form kernels)."""
+        from ..ops import doubledouble as dd
+
+        return tuple(
+            dd.split_f64(w[:, None] * t)
+            for w, t in zip(self.quad_weights, self.full_tables)
+        )
+
 
 class SegmentedStaticsSolution(NamedTuple):
     qe: jnp.ndarray            # (..., S, na*ne) converged strain modes
     iterations: jnp.ndarray
     residual_norm: jnp.ndarray
     converged: jnp.ndarray
+    qe_lo: jnp.ndarray = None  # dd low word (dd_residual solves)
 
 
 def _chained_full_states(qe_segs, cfg: SegmentedStaticsConfig, iters, method):
@@ -190,6 +208,155 @@ def segmented_equilibrium_residual(qe_segs, tip_force, tip_moment,
             qe_segs[..., s, :], qs[s], rs[s], r_tip, q_tip,
             tip_force, tip_moment, seg, s, cfg))
     return jnp.stack(res, axis=-2)
+
+
+def segmented_equilibrium_residual_dd(qe_segs, tip_force, tip_moment,
+                                      cfg: SegmentedStaticsConfig,
+                                      iters: int = 20,
+                                      interpret: bool = False):
+    """Double-word chained balance residual ``(..., S, na*ne)``.
+
+    The multi-segment analogue of ``cosserat.equilibrium_residual_dd``: the
+    kinematic chain runs through the refined-fused Pallas BC kernels (dd
+    junction states end to end), and every transport/cancellation — the
+    global-tip moment arms especially, which cross segment boundaries and
+    carry the worst O(1) cancellation — uses error-free transformations.
+    ``qe_segs`` may be a dd pair ``(hi, lo)`` of ``(..., S, nq)`` words.
+    f32 output (values near zero are fully representable).
+    """
+    from ..ops import doubledouble as dd
+
+    if isinstance(qe_segs, tuple):
+        qe_hi = jnp.asarray(qe_segs[0], jnp.float32)
+        qe_lo = jnp.asarray(qe_segs[1], jnp.float32)
+    else:
+        qe_hi = jnp.asarray(qe_segs, jnp.float32)
+        qe_lo = jnp.zeros_like(qe_hi)
+    lead = qe_hi.shape[:-2]
+
+    sol = segments.segmented_rod_shape((qe_hi, qe_lo), cfg.rods,
+                                       method="refined_fused", iters=iters,
+                                       interpret=interpret)
+    (jq_hi, jq_lo), (jr_hi, jr_lo) = sol.junction_dd
+    rt = [(jr_hi[..., -1, i], jr_lo[..., -1, i]) for i in range(3)]
+
+    tip_force = jnp.asarray(tip_force, jnp.float32)
+    tip_moment = jnp.asarray(tip_moment, jnp.float32)
+
+    def cross_dd(a, b):
+        out = []
+        for i, j in ((1, 2), (2, 0), (0, 1)):
+            p1 = dd.dd_mul(*a[i], *b[j])
+            p2 = dd.dd_mul(*a[j], *b[i])
+            out.append(dd.dd_add(*p1, *dd.dd_neg(*p2)))
+        return out
+
+    if cfg.follower:
+        # F_world = R(q_tip) F_body at the dd global tip rotation.
+        rc_t = rod._rot_cols_dd(jq_hi[..., -1, :], jq_lo[..., -1, :])
+        f_glob = []
+        for i in range(3):
+            acc = dd.dd_mul_f32(*rc_t[0][i], tip_force[..., 0])
+            acc = dd.dd_add(*acc,
+                            *dd.dd_mul_f32(*rc_t[1][i], tip_force[..., 1]))
+            acc = dd.dd_add(*acc,
+                            *dd.dd_mul_f32(*rc_t[2][i], tip_force[..., 2]))
+            f_glob.append(acc)
+    else:
+        f_glob = [(tip_force[..., i], jnp.zeros_like(tip_force[..., i]))
+                  for i in range(3)]
+
+    h_all = cfg.stiffness_per_segment
+    res_out = []
+    for s, seg in enumerate(cfg.rods.segments):
+        sq_hi, sq_lo = sol.quaternions_dd[s]
+        sr_hi, sr_lo = sol.positions_dd[s]
+        if s == 0:
+            bq = jnp.broadcast_to(
+                jnp.asarray(rod.DEFAULT_Q_INIT, jnp.float32),
+                lead + (1, 4))
+            bq_lo = jnp.zeros_like(bq)
+            br = jnp.zeros(lead + (1, 3), jnp.float32)
+            br_lo = br
+        else:
+            bq = jq_hi[..., s - 1:s, :]
+            bq_lo = jq_lo[..., s - 1:s, :]
+            br = jr_hi[..., s - 1:s, :]
+            br_lo = jr_lo[..., s - 1:s, :]
+        q_hi = jnp.concatenate([sq_hi, bq], axis=-2)      # (..., n_s, 4)
+        q_lo = jnp.concatenate([sq_lo, bq_lo], axis=-2)
+        r_hi = jnp.concatenate([sr_hi, br], axis=-2)
+        r_lo = jnp.concatenate([sr_lo, br_lo], axis=-2)
+
+        # dd strain field from the exact per-segment f64 table.
+        xi_hi, xi_lo = rod._curvature_dd(
+            seg, (qe_hi[..., s, :], qe_lo[..., s, :]),
+            table_dd=cfg.full_tables_dd[s])
+        if cfg.kappa0 is not None:
+            k0_hi, k0_lo = rod._curvature_dd(
+                seg, rod.split_strain(np.asarray(cfg.kappa0,
+                                                 np.float64)[s]),
+                table_dd=cfg.full_tables_dd[s])
+            xi_hi, xi_lo = dd.dd_add(xi_hi, xi_lo, -k0_hi, -k0_lo)
+
+        # arm = r_tip - r; world moment = arm x F + M (per point, dd).
+        arm = [
+            dd.dd_add(rt[i][0][..., None], rt[i][1][..., None],
+                      -r_hi[..., i], -r_lo[..., i])
+            for i in range(3)
+        ]
+        shape = arm[0][0].shape
+        f = [(jnp.broadcast_to(f_glob[i][0][..., None], shape),
+              jnp.broadcast_to(f_glob[i][1][..., None], shape))
+             for i in range(3)]
+        m_world = cross_dd(arm, f)
+        m_world = [
+            dd.dd_add_f32(*m_world[i],
+                          jnp.broadcast_to(tip_moment[..., i][..., None],
+                                           shape))
+            for i in range(3)
+        ]
+
+        # Body transports tau = R^T m (and R^T F for na=6), dd.
+        r_cols = rod._rot_cols_dd(q_hi, q_lo)
+
+        def rt_apply(vec):
+            out = []
+            for j in range(3):
+                acc = dd.dd_mul(*r_cols[j][0], *vec[0])
+                acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][1], *vec[1]))
+                acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][2], *vec[2]))
+                out.append(acc)
+            return out
+
+        tau = rt_apply(m_world)
+        if seg.na == 6:
+            tau = tau + rt_apply(f)
+
+        h_hi, h_lo = dd.split_f64(h_all[s])
+        mr = []
+        for a in range(seg.na):
+            hk = dd.dd_mul(jnp.asarray(h_hi[a]), jnp.asarray(h_lo[a]),
+                           xi_hi[..., a], xi_lo[..., a])
+            mr.append(dd.dd_add(*hk, *dd.dd_neg(*tau[a])))
+
+        wp_hi, wp_lo = cfg.weighted_tables_dd[s]          # (n_s, ne)
+        n_s = seg.n
+        res = []
+        for a in range(seg.na):
+            mh, ml = mr[a]
+            for e in range(seg.ne):
+                hs, ls = [], []
+                for j in range(n_s):
+                    ph, plo = dd.dd_mul(jnp.asarray(wp_hi[j, e]),
+                                        jnp.asarray(wp_lo[j, e]),
+                                        mh[..., j], ml[..., j])
+                    hs.append(ph)
+                    ls.append(plo)
+                th, tl = dd.dd_sum_tree(hs, ls)
+                res.append(th + tl)
+        res_out.append(jnp.stack(res, axis=-1))
+    return jnp.stack(res_out, axis=-2)
 
 
 def _segmented_fused_state_and_tangents(qe, cfg: SegmentedStaticsConfig,
@@ -381,6 +548,8 @@ def solve_segmented_statics_batched(tip_force, tip_moment=None,
                                     damping: float = 1.0, iters: int = 16,
                                     jac_iters: int = 8,
                                     interpret: bool = False,
+                                    dd_residual: bool = False,
+                                    dd_iters: int = 20,
                                     ) -> SegmentedStaticsSolution:
     """Natively-batched Newton for multi-segment statics on the fused tier.
 
@@ -389,8 +558,13 @@ def solve_segmented_statics_batched(tip_force, tip_moment=None,
     BC chain + one direction-stacked fused correction chain per Newton
     step) — the multi-segment analogue of
     ``cosserat.solve_statics_batched``, an order of magnitude past the
-    ``jacfwd``-through-the-chain host tier.  f32-grade (tol ~1e-5).
+    ``jacfwd``-through-the-chain host tier.  f32-grade (tol ~1e-5) by
+    default; ``dd_residual=True`` evaluates the convergence residual with
+    :func:`segmented_equilibrium_residual_dd` (refined-fused dd chain) and
+    carries the strain iterate as a double-word pair, making tolerances
+    down to ~1e-9 meaningful (the dd words come back in ``qe_lo``).
     """
+    from ..ops import doubledouble as dd
     from ..ops import smallsolve as _ss
 
     tip_force = jnp.asarray(tip_force, jnp.float32)
@@ -417,28 +591,45 @@ def solve_segmented_statics_batched(tip_force, tip_moment=None,
             qe, tip_force, tm, cfg, iters=iters,
             jac_iters=jac_iters, interpret=interpret)
 
+    def res_dd(qe_flat_hi, qe_flat_lo):
+        pair = (qe_flat_hi.reshape(b, s_count, nq),
+                qe_flat_lo.reshape(b, s_count, nq))
+        r = segmented_equilibrium_residual_dd(pair, tip_force, tm, cfg,
+                                              iters=dd_iters,
+                                              interpret=interpret)
+        return r.reshape(b, flat)
+
     def cond(state):
-        _, k, res, _ = state
+        _, _, k, res, _ = state
         return jnp.logical_and(
             k < max_iter,
             jnp.any(jnp.linalg.norm(res, axis=-1) > tol))
 
     def body(state):
-        qe_flat, k, res, jac = state
+        qe_flat, qe_lo, k, res, jac = state
         step = _ss.gauss_jordan_solve(jac, res)
         active = (jnp.linalg.norm(res, axis=-1) > tol)[:, None]
-        qe_flat = qe_flat - jnp.where(active, damping * step, 0.0)
+        step = jnp.where(active, damping * step, 0.0)
+        qe_flat, qe_lo = dd.dd_add(qe_flat, qe_lo, -step,
+                                   jnp.zeros_like(step))
         res, jac = res_jac(qe_flat)
-        return qe_flat, k + 1, res, jac
+        if dd_residual:
+            res = res_dd(qe_flat, qe_lo)
+        return qe_flat, qe_lo, k + 1, res, jac
 
     qe_flat0 = qe0.reshape(b, flat)
+    qe_lo0 = jnp.zeros_like(qe_flat0)
     res0, jac0 = res_jac(qe_flat0)
-    qe_flat, k, res, _ = jax.lax.while_loop(
-        cond, body, (qe_flat0, jnp.zeros((), jnp.int32), res0, jac0))
+    if dd_residual:
+        res0 = res_dd(qe_flat0, qe_lo0)
+    qe_flat, qe_lo_out, k, res, _ = jax.lax.while_loop(
+        cond, body, (qe_flat0, qe_lo0, jnp.zeros((), jnp.int32), res0,
+                     jac0))
     rnorm = jnp.linalg.norm(res, axis=-1)
     return SegmentedStaticsSolution(
         qe=qe_flat.reshape(b, s_count, nq),
-        iterations=k, residual_norm=rnorm, converged=rnorm <= tol)
+        iterations=k, residual_norm=rnorm, converged=rnorm <= tol,
+        qe_lo=(qe_lo_out.reshape(b, s_count, nq) if dd_residual else None))
 
 
 def solve_segmented_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),

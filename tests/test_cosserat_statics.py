@@ -634,3 +634,29 @@ def test_line_search_extends_cold_start_radius():
     res = cosserat.equilibrium_residual(ls.qe, f, jnp.zeros(3, jnp.float64),
                                         cfg, method="dense")
     assert float(jnp.max(jnp.abs(res))) < 1e-9
+
+
+def test_dd_residual_supports_follower_loads():
+    """Regression: the dd residual previously ignored cfg.follower — it now
+    rotates the body-frame tip force at the dd tip rotation and matches the
+    f64 dense follower residual."""
+    cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=16), follower=True)
+    rng = np.random.default_rng(3)
+    qe1 = 0.5 * rng.standard_normal(9)
+    qh, ql = rod.split_strain(qe1)
+    f32 = jnp.asarray([0.1, 0.0, 0.4], jnp.float32)
+    r_dd = cosserat.equilibrium_residual_dd(
+        (jnp.asarray(qh), jnp.asarray(ql)), f32, jnp.zeros(3, jnp.float32),
+        cfg, iters=24)
+    r64 = cosserat.equilibrium_residual(
+        jnp.asarray(qe1), jnp.asarray([0.1, 0.0, 0.4], jnp.float64),
+        jnp.zeros(3, jnp.float64), cfg, iters=40, method="dense")
+    err = float(jnp.max(jnp.abs(np.asarray(r_dd, np.float64)
+                                - np.asarray(r64))))
+    assert err < 1e-7, err
+    # and it differs from the dead-load dd residual at finite deflection
+    cfg_dead = cosserat.StaticsConfig(rod=rod.RodConfig(n=16))
+    r_dead = cosserat.equilibrium_residual_dd(
+        (jnp.asarray(qh), jnp.asarray(ql)), f32, jnp.zeros(3, jnp.float32),
+        cfg_dead, iters=24)
+    assert float(jnp.max(jnp.abs(r_dd - r_dead))) > 1e-3

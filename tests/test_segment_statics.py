@@ -186,3 +186,51 @@ def test_follower_tip_force_differs():
     sf = segment_statics.solve_segmented_statics(f, cfg=cfg_f, tol=1e-9)
     assert bool(sd.converged) and bool(sf.converged)
     assert float(jnp.linalg.norm(sd.qe - sf.qe)) > 1e-2
+
+
+def test_segmented_dd_residual_matches_f64():
+    """dd chained residual (refined-fused junctions, EFT transports) vs the
+    f64 dense chained residual at finite amplitude."""
+    cfg = segment_statics.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(2, n=16),
+        stiffness=((1.0, 1.0, 1.3), (1.0, 0.7, 1.0)))
+    rng = np.random.default_rng(1)
+    qe64 = 0.6 * rng.standard_normal((2, 2, 9))
+    tf = jnp.asarray(0.4 * rng.standard_normal((2, 3)), jnp.float32)
+    qe_hi, qe_lo = rod.split_strain(qe64)
+    r_dd = segment_statics.segmented_equilibrium_residual_dd(
+        (jnp.asarray(qe_hi), jnp.asarray(qe_lo)), tf,
+        jnp.zeros((2, 3), jnp.float32), cfg, iters=22, interpret=True)
+    r64 = segment_statics.segmented_equilibrium_residual(
+        jnp.asarray(qe64), jnp.asarray(np.asarray(tf), jnp.float64),
+        jnp.zeros(3, jnp.float64), cfg, iters=40, method="dense")
+    scale = float(jnp.max(jnp.abs(r64)))
+    err = float(jnp.max(jnp.abs(
+        np.asarray(r_dd, np.float64) - np.asarray(r64))))
+    assert err < 1e-7 * max(scale, 1.0), err
+
+
+def test_segmented_batched_dd_newton_oracle_grade():
+    """dd-residual batched multi-segment Newton: tol 1e-9 on device, the
+    dd iterate lands on the host-f64 equilibrium at ~1e-11 and satisfies
+    the TRUE f64 residual at the same grade — the multi-segment analogue
+    of the single-rod dd tier (ROADMAP 'dd-grade segmented statics')."""
+    cfg = segment_statics.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(2, n=16),
+        stiffness=((1.0, 1.0, 1.3), (1.0, 0.7, 1.0)))
+    loads = np.asarray([[0.0, 0.0, 0.5], [0.2, 0.0, 0.3]], np.float32)
+    sol = segment_statics.solve_segmented_statics_batched(
+        jnp.asarray(loads), cfg=cfg, tol=1e-9, max_iter=14, iters=20,
+        jac_iters=10, interpret=True, dd_residual=True, dd_iters=22)
+    assert np.asarray(sol.converged).all()
+    qe_full = np.asarray(sol.qe, np.float64) + np.asarray(sol.qe_lo,
+                                                          np.float64)
+    for i in range(2):
+        ref = segment_statics.solve_segmented_statics(
+            jnp.asarray(loads[i], jnp.float64), cfg=cfg, tol=1e-12,
+            max_iter=40)
+        assert np.abs(qe_full[i] - np.asarray(ref.qe)).max() < 1e-10
+        r = segment_statics.segmented_equilibrium_residual(
+            jnp.asarray(qe_full[i]), jnp.asarray(loads[i], jnp.float64),
+            jnp.zeros(3, jnp.float64), cfg, iters=40, method="dense")
+        assert float(jnp.linalg.norm(r)) < 1e-10
