@@ -43,6 +43,7 @@ from ..ops import smallsolve
 from . import cosserat, rod
 
 __all__ = [
+    "ContactPlane",
     "DynamicsConfig",
     "Trajectory",
     "stiffness_matrix",
@@ -55,6 +56,37 @@ __all__ = [
     "simulate_implicit",
     "natural_frequencies",
 ]
+
+
+@dataclass(frozen=True)
+class ContactPlane:
+    """Unilateral half-space contact: the rod must stay on the
+    ``normal . r >= offset`` side of the plane.
+
+    Smooth penalty formulation (jit/AD-friendly — no complementarity
+    switching inside ``lax`` control flow): penetration
+    ``g(X) = offset - normal . r(X)`` maps through the C-infinity softplus
+    ramp ``s(g) = smoothing * softplus(g / smoothing)`` (→ ``max(g, 0)``
+    as ``smoothing → 0``), giving the penalty potential
+    ``V = 1/2 stiffness ∫ s(g)^2 dX`` whose gradient is the distributed
+    normal force.  ``damping`` adds a non-conservative normal dashpot
+    ``f_d = -damping * s'(g) * (dg/dt) n`` active only in contact
+    (s' = the smooth Heaviside).  Penetration depth at rest scales like
+    ``(line load)/stiffness`` — pick ``stiffness`` for the tolerable
+    compliance, ``smoothing`` well below it.
+    """
+
+    normal: tuple = (0.0, 0.0, 1.0)
+    offset: float = 0.0
+    stiffness: float = 1e4
+    damping: float = 0.0
+    smoothing: float = 1e-3
+
+    def gap_ramp(self, r):
+        """``s(g)`` at positions ``r (..., n, 3)`` (positive in contact)."""
+        n_hat = jnp.asarray(self.normal, r.dtype)
+        g = self.offset - jnp.einsum("...c,c->...", r, n_hat)
+        return self.smoothing * jax.nn.softplus(g / self.smoothing)
 
 
 @dataclass(frozen=True)
@@ -81,6 +113,7 @@ class DynamicsConfig:
     # modes' decay rates stiff, destroying explicit-RK4 stability.)
     damping: float = 0.0
     gravity: tuple | None = None
+    contact: ContactPlane | None = None
 
     @property
     def rod(self) -> rod.RodConfig:
@@ -180,16 +213,23 @@ def mass_matrix(qe, cfg: DynamicsConfig, iters: int = 16):
 
 
 def potential_energy(qe, cfg: DynamicsConfig):
-    """Elastic energy ``1/2 dqe^T K_ee dqe`` (+ gravity potential)."""
+    """Elastic energy ``1/2 dqe^T K_ee dqe`` (+ gravity and contact-penalty
+    potentials)."""
     dq = qe - jnp.asarray(cfg.kappa0_modes, qe.dtype)
     k = jnp.asarray(cfg.k_ee, qe.dtype)
     v = 0.5 * jnp.einsum("...i,ij,...j->...", dq, k, dq,
                          precision="highest")
-    if cfg.gravity is not None:
+    if cfg.gravity is not None or cfg.contact is not None:
         r = _positions_full(qe, cfg, 16)
-        w = jnp.asarray(cfg.statics.quad_weights, qe.dtype) * cfg.rho_a
-        g = jnp.asarray(cfg.gravity, qe.dtype)
-        v = v - jnp.einsum("j,...jc,c->...", w, r, g, precision="highest")
+        w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
+        if cfg.gravity is not None:
+            g = jnp.asarray(cfg.gravity, qe.dtype)
+            v = v - cfg.rho_a * jnp.einsum("j,...jc,c->...", w_q, r, g,
+                                           precision="highest")
+        if cfg.contact is not None:
+            s = cfg.contact.gap_ramp(r)
+            v = v + 0.5 * cfg.contact.stiffness * jnp.einsum(
+                "j,...j->...", w_q, s * s)
     return v
 
 
@@ -252,6 +292,30 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
         _, pull = jax.vjp(lambda dq: _omega_from_dq(q_tip, dq),
                           jnp.zeros_like(q_tip))
         rhs = rhs + jax.vjp(tip_quat, qe)[1](pull(m_vec)[0])[0]
+
+    if cfg.contact is not None:
+        ct = cfg.contact
+        w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
+
+        def contact_energy(q):
+            r = _positions_full(q, cfg, iters)
+            s = ct.gap_ramp(r)
+            return 0.5 * ct.stiffness * jnp.sum(
+                jnp.einsum("j,...j->...", w_q, s * s))
+
+        rhs = rhs - jax.grad(contact_energy)(qe)
+        if ct.damping:
+            # Normal dashpot f_d = damping * s'(g) * (dg/dt) n — active
+            # only in contact (s' = smooth Heaviside), dissipative:
+            # f_d . rdot = -damping s' (dg/dt)^2 <= 0.
+            pos_fn = lambda q: _positions_full(q, cfg, iters)
+            r, rdot = jax.jvp(pos_fn, (qe,), (qd,))
+            n_hat = jnp.asarray(ct.normal, qe.dtype)
+            g = ct.offset - jnp.einsum("...c,c->...", r, n_hat)
+            sprime = jax.nn.sigmoid(g / ct.smoothing)
+            gdot = -jnp.einsum("...c,c->...", rdot, n_hat)
+            f_d = (ct.damping * sprime * gdot)[..., None] * n_hat
+            rhs = rhs + jax.vjp(pos_fn, qe)[1](w_q[:, None] * f_d)[0]
 
     g_eff = None
     if cfg.gravity is not None:

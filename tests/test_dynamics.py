@@ -233,3 +233,117 @@ def test_base_shaking_excites_resonant_bending():
         tol=1e-8, record_energy=False))(qe0, jnp.zeros_like(qe0))
     amp = np.abs(np.asarray(traj.qes)[100:, :, 3]).max(axis=0)
     assert amp[0] > 3.0 * amp[1], amp
+
+
+def test_contact_plane_supports_drooping_rod():
+    """Unilateral contact (ROADMAP 'contact dynamics'): under gravity a
+    damped rod settles RESTING on the floor plane — no point below the
+    plane beyond the penalty compliance — while the free rod droops well
+    below it."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    floor = -0.25
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    g = (0.0, 0.0, -8.0)
+    base = dict(statics=scfg, rho_a=1.0, rho_i=1e-2, damping=6.0, gravity=g)
+    cfg_free = dyn.DynamicsConfig(**base)
+    # Contact pressure concentrates on the ~20% of the rod actually
+    # touching, so the local line load is ~5x rho_a*g — stiffness sets the
+    # penetration ~(local load)/stiffness ~ 4e-3 here.  The implicit
+    # integrator absorbs the penalty stiffness (RK4 would need dt ~ 1e-3).
+    cfg_con = dyn.DynamicsConfig(
+        **base,
+        contact=dyn.ContactPlane(normal=(0.0, 0.0, 1.0), offset=floor,
+                                 stiffness=1e4, smoothing=1e-3))
+    qe0 = jnp.zeros(9, jnp.float64)
+    qd0 = jnp.zeros(9, jnp.float64)
+
+    def min_z(qe):
+        sol = rod.rod_shape(qe, cfg=scfg.rod, method="picard", iters=24)
+        return float(jnp.min(sol.positions[..., 2]))
+
+    z_free = min_z(jax.jit(lambda a, b: dyn.simulate(
+        a, b, cfg_free, dt=0.004, steps=900, iters=12,
+        record_energy=False).qes[-1])(qe0, qd0))
+    z_con = min_z(jax.jit(lambda a, b: dyn.simulate_implicit(
+        a, b, cfg_con, dt=0.015, steps=240, iters=12, tol=1e-8,
+        record_energy=False).qes[-1])(qe0, qd0))
+    assert z_free < floor - 0.05, z_free     # gravity alone dips below
+    assert z_con > floor - 0.02, z_con       # the plane carries the rod
+    assert z_con < floor + 0.06, z_con       # ... which actually rests on it
+
+
+def test_contact_bounce_energy_conserved_at_rk4_order():
+    """Undamped elastic impact: a rod released under gravity swings into
+    the floor and rebounds; total energy INCLUDING the contact-penalty
+    potential is conserved at RK4 order (halving dt cuts the drift >~8x)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dyn.DynamicsConfig(
+        statics=scfg, rho_a=1.0, rho_i=1e-2, gravity=(0.0, 0.0, -5.0),
+        contact=dyn.ContactPlane(normal=(0.0, 0.0, 1.0), offset=-0.35,
+                                 stiffness=500.0, smoothing=5e-3))
+    qe0 = jnp.zeros(9, jnp.float64)
+    qd0 = jnp.zeros(9, jnp.float64)
+    drifts = []
+    for dt, steps in [(0.002, 500), (0.001, 1000)]:
+        traj = dyn.simulate(qe0, qd0, cfg, dt=dt, steps=steps, iters=16)
+        e = np.asarray(traj.energies)
+        # Total energy starts (and stays) near ZERO for the horizontal
+        # release — normalize the drift by the peak kinetic energy, the
+        # physical scale of the motion.
+        e_kin = max(
+            float(dyn.kinetic_energy(jnp.asarray(traj.qes[j]),
+                                     jnp.asarray(traj.qds[j]), cfg))
+            for j in range(0, steps, steps // 20))
+        drifts.append(abs(e[-1] - e[0]) / e_kin)
+        # the rod must actually touch the floor during the run
+        zmin = min(
+            float(jnp.min(rod.rod_shape(
+                jnp.asarray(traj.qes[k]), cfg=scfg.rod, method="picard",
+                iters=24).positions[..., 2]))
+            for k in range(0, steps, steps // 10))
+        assert zmin < -0.33, zmin
+    assert drifts[0] < 1e-7, drifts          # measured 1.2e-8
+    assert drifts[1] < drifts[0] / 10.0, drifts   # ~dt^4 (measured 61x)
+
+
+def test_parametric_excitation_at_twice_natural_frequency():
+    """Mathieu-type principal parametric resonance: modulating the AXIAL
+    tip load at Omega = 2 omega_1 pumps the transverse bending mode from a
+    tiny seed (net growth ~ exp((P1/(4 P_cr)) omega_1 t - c t / 2)), while
+    the same modulation detuned off the 2:1 tongue stays seed-level — the
+    parametric-excitation study the driven protocols enable."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3),
+                                  stiffness=(1.0, 1.0, 1.3))
+    c = 0.2
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2, damping=c)
+    w1 = float(np.sort(dyn.natural_frequencies(cfg))[0])
+    p_cr = np.pi ** 2 / 4.0
+    p1 = 0.5 * p_cr
+    omegas = jnp.asarray([2.0 * w1, 1.37 * w1])
+
+    def drive(t):
+        ax = -p1 * jnp.cos(omegas * t)          # (2,)
+        return jnp.stack([ax, jnp.zeros_like(ax), jnp.zeros_like(ax)],
+                         axis=-1)               # (2, 3) axial modulation
+
+    seed = 1e-4
+    qe0 = jnp.zeros((2, 9), jnp.float64).at[:, 3].set(seed)
+    traj = jax.jit(lambda a, b: dyn.simulate_implicit(
+        a, b, cfg, dt=0.045, steps=520, iters=12, tip_force=drive,
+        tol=1e-8, record_energy=False))(qe0, jnp.zeros_like(qe0))
+    bend = np.abs(np.asarray(traj.qes)[..., 3])          # (steps, 2)
+    growth = bend[-60:].max(axis=0) / seed
+    assert growth[0] > 20.0, growth          # 2:1 tongue: exponential pump
+    assert growth[1] < 5.0, growth           # detuned: bounded
+    assert growth[0] / growth[1] > 10.0
