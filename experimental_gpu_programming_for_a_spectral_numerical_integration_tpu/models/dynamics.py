@@ -54,6 +54,7 @@ __all__ = [
     "accelerations",
     "simulate",
     "simulate_implicit",
+    "parametric_stability_map",
     "natural_frequencies",
 ]
 
@@ -519,6 +520,45 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
         length=steps)
     times = t0 + dt * jnp.arange(1, steps + 1, dtype=qe0.dtype)
     return Trajectory(times=times, qes=qes, qds=qds, energies=energies)
+
+
+def parametric_stability_map(cfg: DynamicsConfig, omegas, amplitudes,
+                             load_dir=(-1.0, 0.0, 0.0), seed: float = 1e-4,
+                             seed_index: int = 3, t_end: float = 25.0,
+                             dt: float = 0.045, iters: int = 12,
+                             tol: float = 1e-8):
+    """Growth-factor map of parametric excitation over an (Omega, P1) grid.
+
+    Drives the tip load ``P1 * cos(Omega t) * load_dir`` for every grid
+    point in ONE batched implicit run (the whole map is a single
+    ``lax.scan``), seeding the monitored strain coordinate ``seed_index``
+    with ``seed``, and returns ``growth (len(omegas), len(amplitudes))`` =
+    (late-window max of that coordinate) / seed.  Instability tongues
+    (Mathieu 2:1 at ``Omega ~ 2 omega_1`` foremost) show up as rows of
+    large growth; damping in ``cfg`` sets the tongue threshold.  The
+    sweep tooling over the driven protocols (ROADMAP 'parametric
+    excitation studies').
+    """
+    omegas = jnp.asarray(omegas, jnp.float32)
+    amplitudes = jnp.asarray(amplitudes, jnp.float32)
+    n_o, n_a = omegas.shape[0], amplitudes.shape[0]
+    b = n_o * n_a
+    og, ag = [x.reshape(-1) for x in jnp.meshgrid(omegas, amplitudes,
+                                                  indexing="ij")]
+    d = jnp.asarray(load_dir, jnp.float32)
+
+    def drive(t):
+        return (ag * jnp.cos(og * t))[:, None] * d          # (B, 3)
+
+    nq = cfg.rod.na * cfg.rod.ne
+    qe0 = jnp.zeros((b, nq)).at[:, seed_index].set(seed)
+    steps = int(round(t_end / dt))
+    traj = simulate_implicit(qe0, jnp.zeros_like(qe0), cfg, dt=dt,
+                             steps=steps, iters=iters, tip_force=drive,
+                             tol=tol, record_energy=False)
+    window = max(1, steps // 8)
+    amp = jnp.max(jnp.abs(traj.qes[-window:, :, seed_index]), axis=0)
+    return (amp / seed).reshape(n_o, n_a)
 
 
 def natural_frequencies(cfg: DynamicsConfig, qe0=None, iters: int = 24):

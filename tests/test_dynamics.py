@@ -347,3 +347,27 @@ def test_parametric_excitation_at_twice_natural_frequency():
     assert growth[0] > 20.0, growth          # 2:1 tongue: exponential pump
     assert growth[1] < 5.0, growth           # detuned: bounded
     assert growth[0] / growth[1] > 10.0
+
+
+def test_parametric_stability_map_locates_tongue():
+    """The sweep tooling: one batched run over a 3x2 (Omega, P1) grid; the
+    2:1 tongue row at Omega = 2 omega_1 dominates, and within it growth
+    increases with the modulation amplitude."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3),
+                                  stiffness=(1.0, 1.0, 1.3))
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2,
+                             damping=0.2)
+    w1 = float(np.sort(dyn.natural_frequencies(cfg))[0])
+    p_cr = np.pi ** 2 / 4.0
+    growth = np.asarray(jax.jit(lambda: dyn.parametric_stability_map(
+        cfg, jnp.asarray([1.37 * w1, 2.0 * w1, 2.9 * w1]),
+        jnp.asarray([0.3 * p_cr, 0.55 * p_cr]), t_end=23.0))())
+    assert growth.shape == (3, 2)
+    # the 2:1 row dominates both detuned rows at the stronger drive
+    assert growth[1, 1] > 10.0 * growth[0, 1], growth
+    assert growth[1, 1] > 10.0 * growth[2, 1], growth
+    assert growth[1, 1] > growth[1, 0], growth   # stronger drive, more pump
