@@ -338,6 +338,12 @@ def switch_branch_batched(qe_c, lam_c, null_vectors, load_refs,
     load_refs = jnp.asarray(load_refs, jnp.float32)
     b = load_refs.shape[0]
     nq = cfg.rod.na * cfg.rod.ne
+    qe_c = jnp.asarray(qe_c, jnp.float32)
+    if qe_c.shape != (b, nq) or jnp.shape(null_vectors) != (b, nq):
+        raise ValueError(
+            f"switch_branch_batched: qe_c/null_vectors must be (B, nq) = "
+            f"({b}, {nq}); got {qe_c.shape} / {jnp.shape(null_vectors)}"
+        )
     if tip_moment_refs is None:
         tip_moment_refs = jnp.zeros_like(load_refs)
     tip_moment_refs = jnp.broadcast_to(

@@ -380,49 +380,42 @@ def equilibrium_residual_dd(qe, tip_force, tip_moment, cfg: StaticsConfig,
         )
         xi_hi, xi_lo = dd.dd_add(xi_hi, xi_lo, -k0_hi, -k0_lo)
 
-    def v3(a_hi, a_lo):
-        return [(a_hi[..., i], a_lo[..., i]) for i in range(3)]
-
-    def cross_dd(a, b):
-        out = []
-        for i, j in ((1, 2), (2, 0), (0, 1)):
-            p1 = dd.dd_mul(*a[i], *b[j])
-            p2 = dd.dd_mul(*a[j], *b[i])
-            out.append(dd.dd_add(*p1, *dd.dd_neg(*p2)))
-        return out
-
-    # arm = r_tip - r; world moment = arm x F + M  (loads exact f32).
+    # arm = r_tip - r; world moment = arm x F + M.  Loads may be dd pairs
+    # ``(hi, lo)`` — the batched dd Riks corrector passes ``lam (x)
+    # load_ref`` as an exact dd product so the load factor's low word
+    # reaches the residual (an f32 product would floor the equilibrium
+    # at ulp_f32(lam*F) ~ 6e-8).
     arm = [
         dd.dd_add(r_hi[..., :1, i], r_lo[..., :1, i],
                   -r_hi[..., i], -r_lo[..., i])
         for i in range(3)
     ]
-    tip_force = jnp.asarray(tip_force, jnp.float32)
-    tip_moment = jnp.asarray(tip_moment, jnp.float32)
+
+    def load3(v):
+        if isinstance(v, tuple):
+            return (jnp.asarray(v[0], jnp.float32),
+                    jnp.asarray(v[1], jnp.float32))
+        v = jnp.asarray(v, jnp.float32)
+        return v, jnp.zeros_like(v)
+
+    tf_hi, tf_lo = load3(tip_force)
+    tm_hi, tm_lo = load3(tip_moment)
     shape = arm[0][0].shape
+    f_vec = [(tf_hi[..., i], tf_lo[..., i]) for i in range(3)]
     if cfg.follower:
         # F_world = R(q_tip) F_body at the dd tip rotation (tip = point 0;
         # the dd tier previously ignored `follower` silently).
-        rc_t = rod._rot_cols_dd(q_hi[..., 0, :], q_lo[..., 0, :])
-        fg = []
-        for i in range(3):
-            acc = dd.dd_mul_f32(*rc_t[0][i], tip_force[..., 0])
-            acc = dd.dd_add(*acc,
-                            *dd.dd_mul_f32(*rc_t[1][i], tip_force[..., 1]))
-            acc = dd.dd_add(*acc,
-                            *dd.dd_mul_f32(*rc_t[2][i], tip_force[..., 2]))
-            fg.append(acc)
-        f = [(jnp.broadcast_to(fg[i][0][..., None], shape),
-              jnp.broadcast_to(fg[i][1][..., None], shape))
-             for i in range(3)]
-    else:
-        f = [(jnp.broadcast_to(tip_force[..., i][..., None], shape),
-              jnp.zeros(shape, jnp.float32)) for i in range(3)]
-    m_world = cross_dd(arm, f)
-    m_world = [dd.dd_add_f32(*m_world[i],
-                             jnp.broadcast_to(tip_moment[..., i][..., None],
-                                              shape))
-               for i in range(3)]
+        f_vec = rod._rotate_dd(q_hi[..., 0, :], q_lo[..., 0, :], f_vec)
+    f = [(jnp.broadcast_to(f_vec[i][0][..., None], shape),
+          jnp.broadcast_to(f_vec[i][1][..., None], shape))
+         for i in range(3)]
+    m_world = dd.dd_cross(arm, f)
+    m_world = [
+        dd.dd_add(*m_world[i],
+                  jnp.broadcast_to(tm_hi[..., i][..., None], shape),
+                  jnp.broadcast_to(tm_lo[..., i][..., None], shape))
+        for i in range(3)
+    ]
 
     w_dist = None
     if cfg.distributed_force is not None:
@@ -446,22 +439,12 @@ def equilibrium_residual_dd(qe, tip_force, tip_moment, cfg: StaticsConfig,
             dist_arm.append(dd.dd_add(*tr, *dd.dd_neg(*lr)))
         wv = [(jnp.broadcast_to(w_dist[c], shape), jnp.zeros(shape, jnp.float32))
               for c in range(3)]
-        m_dist = cross_dd(dist_arm, wv)
+        m_dist = dd.dd_cross(dist_arm, wv)
         m_world = [dd.dd_add(*m_world[i], *m_dist[i]) for i in range(3)]
 
     # Body-frame transports tau = R^T m (and n = R^T F for na=6).
     r_cols = rod._rot_cols_dd(q_hi, q_lo)
-
-    def rt_apply(vec):
-        out = []
-        for j in range(3):
-            acc = dd.dd_mul(*r_cols[j][0], *vec[0])
-            acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][1], *vec[1]))
-            acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][2], *vec[2]))
-            out.append(acc)
-        return out
-
-    tau = rt_apply(m_world)
+    tau = rod._rt_apply_dd(r_cols, m_world)
     if rc.na == 6:
         f_tot = f
         if w_dist is not None:
@@ -471,7 +454,7 @@ def equilibrium_residual_dd(qe, tip_force, tip_moment, cfg: StaticsConfig,
                           *dd.dd_mul_f32(tl_hi, tl_lo, w_dist[c]))
                 for c in range(3)
             ]
-        tau = tau + rt_apply(f_tot)
+        tau = tau + rod._rt_apply_dd(r_cols, f_tot)
 
     # mr = H xi - tau, dd; H is an exact-split f64 constant.
     h_hi, h_lo = dd.split_f64(np.asarray(cfg.stiffness, np.float64))
@@ -484,21 +467,7 @@ def equilibrium_residual_dd(qe, tip_force, tip_moment, cfg: StaticsConfig,
     # Weak form: res[a, e] = sum_j (w P_e)(x_j) mr[j, a], dd contraction
     # unrolled over the n grid points.
     wp_hi, wp_lo = cfg.weighted_table_dd          # (n, ne)
-    n = rc.n
-    res = []
-    for a in range(rc.na):
-        mh, ml = mr[a]
-        for e in range(rc.ne):
-            hs, ls = [], []
-            for j in range(n):
-                ph, plo = dd.dd_mul(jnp.asarray(wp_hi[j, e]),
-                                    jnp.asarray(wp_lo[j, e]),
-                                    mh[..., j], ml[..., j])
-                hs.append(ph)
-                ls.append(plo)
-            th, tl = dd.dd_sum_tree(hs, ls)
-            res.append(th + tl)
-    return jnp.stack(res, axis=-1)
+    return dd.dd_weak_form(wp_hi, wp_lo, mr, rc.ne)
 
 
 def _pick_tile(b: int, rc: rod.RodConfig):
@@ -1027,10 +996,13 @@ def _batched_riks_engine(load_refs, tip_moment_refs, cfg: StaticsConfig,
                                          tile, interpret)
 
     def res_dd(x_hi, x_lo_):
-        lam = x_hi[:, nq] + x_lo_[:, nq]
+        # lam (x) load_ref as an EXACT dd product: collapsing lam to its
+        # hi word (or an f32 multiply) would floor the equilibrium's load
+        # at ulp_f32(lam*F) ~ 6e-8, defeating 1e-9-class tolerances.
+        tf = dd.dd_mul_f32(x_hi[:, nq:], x_lo_[:, nq:], load_refs)
+        tm = dd.dd_mul_f32(x_hi[:, nq:], x_lo_[:, nq:], tip_moment_refs)
         return equilibrium_residual_dd(
-            (x_hi[:, :nq], x_lo_[:, :nq]),
-            lam[:, None] * load_refs, lam[:, None] * tip_moment_refs,
+            (x_hi[:, :nq], x_lo_[:, :nq]), tf, tm,
             cfg, iters=dd_iters, refine_steps=refine_steps)
 
     def tangent(x_, t_prev):

@@ -329,6 +329,32 @@ def _rot_cols_dd(q_hi, q_lo):
     ]
 
 
+def _rt_apply_dd(r_cols, vec):
+    """``R^T v`` in dd: ``r_cols`` from :func:`_rot_cols_dd`, ``vec`` a
+    length-3 list of dd pairs.  Shared by the single-rod and segmented dd
+    statics residuals (body-frame transports)."""
+    out = []
+    for j in range(3):
+        acc = dd.dd_mul(*r_cols[j][0], *vec[0])
+        acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][1], *vec[1]))
+        acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][2], *vec[2]))
+        out.append(acc)
+    return out
+
+
+def _rotate_dd(q_hi, q_lo, vec):
+    """``R(q) v`` in dd at a dd quaternion; ``vec`` a length-3 list of dd
+    pairs (follower-load transport: body-frame force to world frame)."""
+    rc = _rot_cols_dd(q_hi, q_lo)
+    out = []
+    for i in range(3):
+        acc = dd.dd_mul(*rc[0][i], *vec[0])
+        acc = dd.dd_add(*acc, *dd.dd_mul(*rc[1][i], *vec[1]))
+        acc = dd.dd_add(*acc, *dd.dd_mul(*rc[2][i], *vec[2]))
+        out.append(acc)
+    return out
+
+
 def _tangent_dd_6dof(q_hi, q_lo, g_hi, g_lo):
     """Double-word Reissner tangent ``t = R(q) (e1 + gamma)``.
 

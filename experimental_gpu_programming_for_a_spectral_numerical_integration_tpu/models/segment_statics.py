@@ -221,7 +221,8 @@ def segmented_equilibrium_residual_dd(qe_segs, tip_force, tip_moment,
     junction states end to end), and every transport/cancellation — the
     global-tip moment arms especially, which cross segment boundaries and
     carry the worst O(1) cancellation — uses error-free transformations.
-    ``qe_segs`` may be a dd pair ``(hi, lo)`` of ``(..., S, nq)`` words.
+    ``qe_segs`` may be a dd pair ``(hi, lo)`` of ``(..., S, nq)`` words;
+    ``tip_force``/``tip_moment`` may be dd pairs too (exact scaled loads).
     f32 output (values near zero are fully representable).
     """
     from ..ops import doubledouble as dd
@@ -240,31 +241,20 @@ def segmented_equilibrium_residual_dd(qe_segs, tip_force, tip_moment,
     (jq_hi, jq_lo), (jr_hi, jr_lo) = sol.junction_dd
     rt = [(jr_hi[..., -1, i], jr_lo[..., -1, i]) for i in range(3)]
 
-    tip_force = jnp.asarray(tip_force, jnp.float32)
-    tip_moment = jnp.asarray(tip_moment, jnp.float32)
+    def load3(v):
+        if isinstance(v, tuple):
+            return (jnp.asarray(v[0], jnp.float32),
+                    jnp.asarray(v[1], jnp.float32))
+        v = jnp.asarray(v, jnp.float32)
+        return v, jnp.zeros_like(v)
 
-    def cross_dd(a, b):
-        out = []
-        for i, j in ((1, 2), (2, 0), (0, 1)):
-            p1 = dd.dd_mul(*a[i], *b[j])
-            p2 = dd.dd_mul(*a[j], *b[i])
-            out.append(dd.dd_add(*p1, *dd.dd_neg(*p2)))
-        return out
-
+    tf_hi, tf_lo = load3(tip_force)
+    tm_hi, tm_lo = load3(tip_moment)
+    f_glob = [(tf_hi[..., i], tf_lo[..., i]) for i in range(3)]
     if cfg.follower:
         # F_world = R(q_tip) F_body at the dd global tip rotation.
-        rc_t = rod._rot_cols_dd(jq_hi[..., -1, :], jq_lo[..., -1, :])
-        f_glob = []
-        for i in range(3):
-            acc = dd.dd_mul_f32(*rc_t[0][i], tip_force[..., 0])
-            acc = dd.dd_add(*acc,
-                            *dd.dd_mul_f32(*rc_t[1][i], tip_force[..., 1]))
-            acc = dd.dd_add(*acc,
-                            *dd.dd_mul_f32(*rc_t[2][i], tip_force[..., 2]))
-            f_glob.append(acc)
-    else:
-        f_glob = [(tip_force[..., i], jnp.zeros_like(tip_force[..., i]))
-                  for i in range(3)]
+        f_glob = rod._rotate_dd(jq_hi[..., -1, :], jq_lo[..., -1, :],
+                                f_glob)
 
     h_all = cfg.stiffness_per_segment
     res_out = []
@@ -309,29 +299,19 @@ def segmented_equilibrium_residual_dd(qe_segs, tip_force, tip_moment,
         f = [(jnp.broadcast_to(f_glob[i][0][..., None], shape),
               jnp.broadcast_to(f_glob[i][1][..., None], shape))
              for i in range(3)]
-        m_world = cross_dd(arm, f)
+        m_world = dd.dd_cross(arm, f)
         m_world = [
-            dd.dd_add_f32(*m_world[i],
-                          jnp.broadcast_to(tip_moment[..., i][..., None],
-                                           shape))
+            dd.dd_add(*m_world[i],
+                      jnp.broadcast_to(tm_hi[..., i][..., None], shape),
+                      jnp.broadcast_to(tm_lo[..., i][..., None], shape))
             for i in range(3)
         ]
 
         # Body transports tau = R^T m (and R^T F for na=6), dd.
         r_cols = rod._rot_cols_dd(q_hi, q_lo)
-
-        def rt_apply(vec):
-            out = []
-            for j in range(3):
-                acc = dd.dd_mul(*r_cols[j][0], *vec[0])
-                acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][1], *vec[1]))
-                acc = dd.dd_add(*acc, *dd.dd_mul(*r_cols[j][2], *vec[2]))
-                out.append(acc)
-            return out
-
-        tau = rt_apply(m_world)
+        tau = rod._rt_apply_dd(r_cols, m_world)
         if seg.na == 6:
-            tau = tau + rt_apply(f)
+            tau = tau + rod._rt_apply_dd(r_cols, f)
 
         h_hi, h_lo = dd.split_f64(h_all[s])
         mr = []
@@ -341,21 +321,7 @@ def segmented_equilibrium_residual_dd(qe_segs, tip_force, tip_moment,
             mr.append(dd.dd_add(*hk, *dd.dd_neg(*tau[a])))
 
         wp_hi, wp_lo = cfg.weighted_tables_dd[s]          # (n_s, ne)
-        n_s = seg.n
-        res = []
-        for a in range(seg.na):
-            mh, ml = mr[a]
-            for e in range(seg.ne):
-                hs, ls = [], []
-                for j in range(n_s):
-                    ph, plo = dd.dd_mul(jnp.asarray(wp_hi[j, e]),
-                                        jnp.asarray(wp_lo[j, e]),
-                                        mh[..., j], ml[..., j])
-                    hs.append(ph)
-                    ls.append(plo)
-                th, tl = dd.dd_sum_tree(hs, ls)
-                res.append(th + tl)
-        res_out.append(jnp.stack(res, axis=-1))
+        res_out.append(dd.dd_weak_form(wp_hi, wp_lo, mr, seg.ne))
     return jnp.stack(res_out, axis=-2)
 
 

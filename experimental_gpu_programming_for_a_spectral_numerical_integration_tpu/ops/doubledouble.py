@@ -41,6 +41,8 @@ __all__ = [
     "dd_sum_tree",
     "dd_to_f32",
     "dd_abs_max",
+    "dd_cross",
+    "dd_weak_form",
 ]
 
 # Dekker split constant for f32 (24-bit mantissa -> 12+12): 2^12 + 1.
@@ -163,3 +165,41 @@ def dd_to_f32(a_hi, a_lo):
 
 def dd_abs_max(a_hi, a_lo):
     return jnp.max(jnp.abs(a_hi + a_lo))
+
+
+def dd_cross(a, b):
+    """Cross product of two dd 3-vectors (length-3 lists of (hi, lo)
+    pairs) with error-free products — shared by the single-rod and
+    segmented dd statics residuals (the moment-arm transports carry the
+    worst O(1) cancellation in those paths)."""
+    out = []
+    for i, j in ((1, 2), (2, 0), (0, 1)):
+        p1 = dd_mul(*a[i], *b[j])
+        p2 = dd_mul(*a[j], *b[i])
+        out.append(dd_add(*p1, *dd_neg(*p2)))
+    return out
+
+
+def dd_weak_form(wp_hi, wp_lo, mr, ne: int):
+    """Weak-form contraction ``res[a*ne + e] = sum_j wp[j, e] mr_a[j]``.
+
+    ``wp_hi/wp_lo``: (n, ne) host dd split of the weighted basis table;
+    ``mr``: list over strain components of dd pairs with the grid point on
+    the LAST axis.  Compensated tree reduction per mode; returns the f32
+    sum ``hi + lo`` stacked on a new trailing axis (residual values near
+    zero are fully representable — dd mattered for the cancellation).
+    """
+    n = wp_hi.shape[0]
+    res = []
+    for mh, ml in mr:
+        for e in range(ne):
+            hs, ls = [], []
+            for j in range(n):
+                ph, plo = dd_mul(jnp.asarray(wp_hi[j, e]),
+                                 jnp.asarray(wp_lo[j, e]),
+                                 mh[..., j], ml[..., j])
+                hs.append(ph)
+                ls.append(plo)
+            th, tl = dd_sum_tree(hs, ls)
+            res.append(th + tl)
+    return jnp.stack(res, axis=-1)
