@@ -44,6 +44,12 @@ from . import cosserat, rod
 
 __all__ = [
     "ContactPlane",
+    "ContactSphere",
+    "ContactCylinder",
+    "RodRodContact",
+    "scene_energy",
+    "scene_accelerations",
+    "simulate_scene",
     "DynamicsConfig",
     "Trajectory",
     "stiffness_matrix",
@@ -59,35 +65,145 @@ __all__ = [
 ]
 
 
-@dataclass(frozen=True)
-class ContactPlane:
-    """Unilateral half-space contact: the rod must stay on the
-    ``normal . r >= offset`` side of the plane.
+class _Obstacle:
+    """Shared smooth-penalty machinery for unilateral obstacle contact.
+
+    A concrete obstacle is a frozen dataclass with the penalty fields
+    (``stiffness``, ``damping``, ``smoothing``, ``friction``,
+    ``friction_vel``) plus its geometry, and defines ONE method:
+    ``gap(r)`` — a signed-distance-like penetration field at positions
+    ``r (..., n, 3)``, **positive inside the obstacle**, pointwise in the
+    grid index, with ``|∇g| = 1`` (all three shapes below satisfy this;
+    the force assembly relies on it to read the contact normal and the
+    normal-force magnitude off one gap vjp).
 
     Smooth penalty formulation (jit/AD-friendly — no complementarity
-    switching inside ``lax`` control flow): penetration
-    ``g(X) = offset - normal . r(X)`` maps through the C-infinity softplus
-    ramp ``s(g) = smoothing * softplus(g / smoothing)`` (→ ``max(g, 0)``
-    as ``smoothing → 0``), giving the penalty potential
-    ``V = 1/2 stiffness ∫ s(g)^2 dX`` whose gradient is the distributed
-    normal force.  ``damping`` adds a non-conservative normal dashpot
-    ``f_d = -damping * s'(g) * (dg/dt) n`` active only in contact
-    (s' = the smooth Heaviside).  Penetration depth at rest scales like
-    ``(line load)/stiffness`` — pick ``stiffness`` for the tolerable
-    compliance, ``smoothing`` well below it.
+    switching inside ``lax`` control flow): the penetration maps through
+    the C-infinity softplus ramp ``s(g) = smoothing * softplus(g /
+    smoothing)`` (→ ``max(g, 0)`` as ``smoothing → 0``), giving the
+    penalty potential ``V = 1/2 stiffness ∫ s(g)^2 dX`` whose gradient
+    ``-k s s' ∇g`` is the distributed normal force — conservative, so the
+    undamped bounce gates conserve total energy.  ``damping`` adds a
+    non-conservative normal dashpot ``-damping s'(g) (dg/dt) ∇g``, active
+    only in contact (s' = the smooth Heaviside) and dissipative by
+    construction (power ``-damping s' (dg/dt)^2 <= 0``).  ``friction``
+    is the Coulomb coefficient mu of a regularized tangential law
+    ``f_t = -mu N v_t / sqrt(|v_t|^2 + friction_vel^2)`` (N = the
+    nonnegative normal-force density): |f_t| → mu N when sliding, a stiff
+    viscous creep |f_t| ≈ mu N |v_t|/friction_vel near stick — pick
+    ``friction_vel`` well below the sliding speeds of interest.
+    Penetration depth at rest scales like ``(line load)/stiffness`` —
+    pick ``stiffness`` for the tolerable compliance, ``smoothing`` well
+    below it.
     """
+
+    def gap_ramp(self, r):
+        """``s(g)`` at positions ``r (..., n, 3)`` (positive in contact)."""
+        return self.smoothing * jax.nn.softplus(self.gap(r) / self.smoothing)
+
+
+@dataclass(frozen=True)
+class ContactPlane(_Obstacle):
+    """Half-space obstacle: the rod must stay on the
+    ``normal . r >= offset`` side; ``gap = offset - normal . r``."""
 
     normal: tuple = (0.0, 0.0, 1.0)
     offset: float = 0.0
     stiffness: float = 1e4
     damping: float = 0.0
     smoothing: float = 1e-3
+    friction: float = 0.0
+    friction_vel: float = 1e-3
 
-    def gap_ramp(self, r):
-        """``s(g)`` at positions ``r (..., n, 3)`` (positive in contact)."""
+    def gap(self, r):
         n_hat = jnp.asarray(self.normal, r.dtype)
-        g = self.offset - jnp.einsum("...c,c->...", r, n_hat)
-        return self.smoothing * jax.nn.softplus(g / self.smoothing)
+        return self.offset - jnp.einsum("...c,c->...", r, n_hat)
+
+
+@dataclass(frozen=True)
+class ContactSphere(_Obstacle):
+    """Spherical obstacle of ``radius`` at ``center``.  ``interior=False``
+    (default) excludes the rod from the ball (``gap = radius - |r - c|``);
+    ``interior=True`` confines it INSIDE the sphere (contact with the
+    inner wall, ``gap = |r - c| - radius``)."""
+
+    center: tuple = (0.0, 0.0, 0.0)
+    radius: float = 0.5
+    interior: bool = False
+    stiffness: float = 1e4
+    damping: float = 0.0
+    smoothing: float = 1e-3
+    friction: float = 0.0
+    friction_vel: float = 1e-3
+
+    def gap(self, r):
+        c = jnp.asarray(self.center, r.dtype)
+        # smooth at the center is irrelevant (deep inside the obstacle);
+        # the epsilon only guards the gradient's 0/0 there
+        d = jnp.sqrt(jnp.sum((r - c) ** 2, axis=-1) + 1e-30)
+        g = self.radius - d
+        return -g if self.interior else g
+
+
+@dataclass(frozen=True)
+class ContactCylinder(_Obstacle):
+    """Infinite circular cylinder obstacle: axis through ``point`` along
+    (unit) ``axis``, ``gap = radius - dist_to_axis`` (rod excluded)."""
+
+    point: tuple = (0.0, 0.0, 0.0)
+    axis: tuple = (0.0, 1.0, 0.0)
+    radius: float = 0.5
+    stiffness: float = 1e4
+    damping: float = 0.0
+    smoothing: float = 1e-3
+    friction: float = 0.0
+    friction_vel: float = 1e-3
+
+    def gap(self, r):
+        p = jnp.asarray(self.point, r.dtype)
+        u = jnp.asarray(self.axis, r.dtype)
+        u = u / jnp.linalg.norm(u)
+        d = r - p
+        d_perp = d - jnp.einsum("...c,c->...", d, u)[..., None] * u
+        return self.radius - jnp.sqrt(
+            jnp.sum(d_perp ** 2, axis=-1) + 1e-30)
+
+
+@dataclass(frozen=True)
+class RodRodContact:
+    """Rod–rod (and self-to-neighbor) contact for multi-rod scenes.
+
+    Smooth-penalty pairwise law between the grid points of DISTINCT rods:
+    centerline distance below ``2 * radius`` (two touching circular
+    cross-sections) penetrates, mapped through the same softplus ramp as
+    the obstacle contacts, giving the conservative scene potential
+
+        ``V = 1/2 stiffness * sum_{i<k} ∫∫ s(2 radius - |r_i(X) -
+        r_k(Y)|)^2 dX dY``
+
+    whose exact gradient (one ``jax.grad`` through the spectral solves)
+    is the interaction force — undamped scenes conserve energy to
+    integrator order.  O(R^2 n^2) pairwise terms: all-pairs on the MXU,
+    no broad-phase — sized for scenes of a few rods, not hair simulation.
+    """
+
+    radius: float = 0.05
+    stiffness: float = 1e4
+    smoothing: float = 1e-3
+
+    def pair_potential(self, r_all, w_q):
+        """Scene penalty energy at positions ``r_all (..., R, n, 3)``
+        (full grids, world frame), quadrature weights ``w_q (n,)``."""
+        d = (r_all[..., :, None, :, None, :]
+             - r_all[..., None, :, None, :, :])        # (..., R, R, n, n, 3)
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-30)
+        g = 2.0 * self.radius - dist
+        s = self.smoothing * jax.nn.softplus(g / self.smoothing)
+        nr = r_all.shape[-3]
+        pair = jnp.triu(jnp.ones((nr, nr), r_all.dtype), k=1)  # i < k only
+        ww = w_q[:, None] * w_q[None, :]
+        return 0.5 * self.stiffness * jnp.einsum(
+            "ik,jl,...ikjl->...", pair, ww, s * s)
 
 
 @dataclass(frozen=True)
@@ -114,7 +230,17 @@ class DynamicsConfig:
     # modes' decay rates stiff, destroying explicit-RK4 stability.)
     damping: float = 0.0
     gravity: tuple | None = None
-    contact: ContactPlane | None = None
+    # One obstacle or a tuple of them (plane / sphere / cylinder mix);
+    # penalty forces sum.
+    contact: _Obstacle | tuple | None = None
+
+    @property
+    def contacts(self) -> tuple:
+        if self.contact is None:
+            return ()
+        if isinstance(self.contact, tuple):
+            return self.contact
+        return (self.contact,)
 
     @property
     def rod(self) -> rod.RodConfig:
@@ -220,16 +346,16 @@ def potential_energy(qe, cfg: DynamicsConfig):
     k = jnp.asarray(cfg.k_ee, qe.dtype)
     v = 0.5 * jnp.einsum("...i,ij,...j->...", dq, k, dq,
                          precision="highest")
-    if cfg.gravity is not None or cfg.contact is not None:
+    if cfg.gravity is not None or cfg.contacts:
         r = _positions_full(qe, cfg, 16)
         w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
         if cfg.gravity is not None:
             g = jnp.asarray(cfg.gravity, qe.dtype)
             v = v - cfg.rho_a * jnp.einsum("j,...jc,c->...", w_q, r, g,
                                            precision="highest")
-        if cfg.contact is not None:
-            s = cfg.contact.gap_ramp(r)
-            v = v + 0.5 * cfg.contact.stiffness * jnp.einsum(
+        for ct in cfg.contacts:
+            s = ct.gap_ramp(r)
+            v = v + 0.5 * ct.stiffness * jnp.einsum(
                 "j,...j->...", w_q, s * s)
     return v
 
@@ -271,68 +397,83 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
 
     rhs = rhs + jax.grad(lambda q: jnp.sum(t_of_q(q)))(qe)
 
-    if tip_force is not None:
-        # Q_tip = J_tip^T F: one VJP of the tip position map.
-        def tip(q):
-            return _positions_full(q, cfg, iters)[..., 0, :]
-
-        f = jnp.broadcast_to(jnp.asarray(tip_force, qe.dtype),
-                             qe.shape[:-1] + (3,))
-        rhs = rhs + jax.vjp(tip, qe)[1](f)[0]
-    if tip_moment is not None:
-        # Q_M = (dq_tip/dqe)^T (domega/ddq)^T M: virtual work of a dead
-        # couple through the tip virtual rotation delta_theta =
-        # 2 (q_tip^* (x) delta q_tip)_vec (same linear map as the angular
-        # velocity, so _omega_from_dq IS the pullback).
-        def tip_quat(q):
-            return _state_full(q, cfg, iters)[1][..., 0, :]
-
-        q_tip = tip_quat(qe)
-        m_vec = jnp.broadcast_to(jnp.asarray(tip_moment, qe.dtype),
-                                 qe.shape[:-1] + (3,))
-        _, pull = jax.vjp(lambda dq: _omega_from_dq(q_tip, dq),
-                          jnp.zeros_like(q_tip))
-        rhs = rhs + jax.vjp(tip_quat, qe)[1](pull(m_vec)[0])[0]
-
-    if cfg.contact is not None:
-        ct = cfg.contact
-        w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
-
-        def contact_energy(q):
-            r = _positions_full(q, cfg, iters)
-            s = ct.gap_ramp(r)
-            return 0.5 * ct.stiffness * jnp.sum(
-                jnp.einsum("j,...j->...", w_q, s * s))
-
-        rhs = rhs - jax.grad(contact_energy)(qe)
-        if ct.damping:
-            # Normal dashpot f_d = damping * s'(g) * (dg/dt) n — active
-            # only in contact (s' = smooth Heaviside), dissipative:
-            # f_d . rdot = -damping s' (dg/dt)^2 <= 0.
-            pos_fn = lambda q: _positions_full(q, cfg, iters)
-            r, rdot = jax.jvp(pos_fn, (qe,), (qd,))
-            n_hat = jnp.asarray(ct.normal, qe.dtype)
-            g = ct.offset - jnp.einsum("...c,c->...", r, n_hat)
-            sprime = jax.nn.sigmoid(g / ct.smoothing)
-            gdot = -jnp.einsum("...c,c->...", rdot, n_hat)
-            f_d = (ct.damping * sprime * gdot)[..., None] * n_hat
-            rhs = rhs + jax.vjp(pos_fn, qe)[1](w_q[:, None] * f_d)[0]
-
     g_eff = None
     if cfg.gravity is not None:
         g_eff = jnp.asarray(cfg.gravity, qe.dtype)
     if extra_accel is not None:
         ea = jnp.asarray(extra_accel, qe.dtype)
         g_eff = ea if g_eff is None else g_eff + ea
-    if g_eff is not None:
-        def grav_work(q):
-            r = _positions_full(q, cfg, iters)
-            w = jnp.asarray(cfg.statics.quad_weights, q.dtype) * cfg.rho_a
-            return jnp.sum(jnp.einsum("j,...jc,...c->...", w, r,
-                                      jnp.broadcast_to(
-                                          g_eff, q.shape[:-1] + (3,))))
 
-        rhs = rhs + jax.grad(grav_work)(qe)
+    # --- external generalized forces: ONE state solve + ONE pullback ---
+    # Every load term below is a cotangent on the full-grid (r, q) state;
+    # assembling them first and pulling back once avoids re-running the
+    # spectral solve per term (tip force, tip couple, gravity/base motion,
+    # contact penalty + dashpot each used to pay their own).
+    if (tip_force is not None or tip_moment is not None
+            or cfg.contacts or g_eff is not None):
+        (r_full, q_full), pull = jax.vjp(
+            lambda q: _state_full(q, cfg, iters), qe)
+        w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
+        r_cot = jnp.zeros_like(r_full)
+        q_cot = jnp.zeros_like(q_full)
+        if tip_force is not None:
+            # Q_tip = J_tip^T F (tip = point 0 of the full grid)
+            f = jnp.broadcast_to(jnp.asarray(tip_force, qe.dtype),
+                                 qe.shape[:-1] + (3,))
+            r_cot = r_cot.at[..., 0, :].add(f)
+        if tip_moment is not None:
+            # Q_M = (dq_tip/dqe)^T (domega/ddq)^T M: virtual work of a
+            # dead couple through the tip virtual rotation delta_theta =
+            # 2 (q_tip^* (x) delta q_tip)_vec (the same linear map as the
+            # angular velocity, so _omega_from_dq IS the pullback).
+            q_tip = q_full[..., 0, :]
+            m_vec = jnp.broadcast_to(jnp.asarray(tip_moment, qe.dtype),
+                                     qe.shape[:-1] + (3,))
+            _, pull_m = jax.vjp(lambda dq: _omega_from_dq(q_tip, dq),
+                                jnp.zeros_like(q_tip))
+            q_cot = q_cot.at[..., 0, :].add(pull_m(m_vec)[0])
+        if g_eff is not None:
+            # gravity / d'Alembert body force: rho_a w_j g per point
+            r_cot = r_cot + cfg.rho_a * w_q[:, None] * jnp.broadcast_to(
+                g_eff[..., None, :], r_full.shape)
+        if cfg.contacts:
+            rdot = None
+            if any(ct.damping or ct.friction for ct in cfg.contacts):
+                # One linearized solve for the grid velocities (dashpots
+                # and friction need them); XLA CSEs its primal with the
+                # vjp's.
+                _, rdot = jax.jvp(
+                    lambda q: _state_full(q, cfg, iters)[0], (qe,), (qd,))
+        for ct in cfg.contacts:
+            # Everything below reads off ONE vjp of the gap field: the
+            # conservative penalty is -k s s' ∇g, the dashpot rides the
+            # same ∇g direction, and (gap pointwise, |∇g| = 1 per the
+            # _Obstacle contract) the unit cotangent recovers the contact
+            # normal for the friction projector.
+            g, pull_g = jax.vjp(ct.gap, r_full)
+            s = ct.smoothing * jax.nn.softplus(g / ct.smoothing)
+            sprime = jax.nn.sigmoid(g / ct.smoothing)
+            coef = ct.stiffness * s * sprime
+            gdot = None
+            if ct.damping or ct.friction:
+                _, gdot = jax.jvp(ct.gap, (r_full,), (rdot,))
+            if ct.damping:
+                # Normal dashpot -damping s'(g) gdot ∇g — active only in
+                # contact, dissipative (power = -damping s' gdot^2 <= 0).
+                coef = coef + ct.damping * sprime * gdot
+            r_cot = r_cot + pull_g(-(w_q * coef))[0]
+            if ct.friction:
+                grad_g = pull_g(jnp.ones_like(g))[0]      # per-point ∇g
+                n_out = -grad_g                           # outward normal
+                v_t = rdot - jnp.einsum("...c,...c->...", rdot,
+                                        n_out)[..., None] * n_out
+                n_mag = jnp.maximum(coef, 0.0)            # normal density
+                speed = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1)
+                                 + ct.friction_vel ** 2)
+                f_f = -(ct.friction * n_mag / speed)[..., None] * v_t
+                r_cot = r_cot + w_q[:, None] * f_f
+        dr_rhs, = pull((r_cot, q_cot))
+        rhs = rhs + dr_rhs
     return m, rhs
 
 
@@ -349,6 +490,86 @@ def accelerations(qe, qd, cfg: DynamicsConfig, tip_force=None,
     if cfg.damping:
         qdd = qdd - cfg.damping * qd
     return qdd
+
+
+def _scene_positions(qe, cfg: DynamicsConfig, base_positions, iters: int):
+    """World-frame full grids of an ``(..., R, nq)`` scene: per-rod
+    spectral solves (batched) plus the static base offsets ``(R, 3)``."""
+    r = _positions_full(qe, cfg, iters)
+    return r + jnp.asarray(base_positions, r.dtype)[..., :, None, :]
+
+
+def scene_energy(qe, qd, cfg: DynamicsConfig, rr: RodRodContact,
+                 base_positions, iters: int = 16):
+    """Total scene energy: per-rod Lagrangian energies (batched over the
+    rod axis) plus the rod–rod interaction potential."""
+    e = jnp.sum(total_energy(qe, qd, cfg, iters), axis=-1)
+    w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
+    return e + rr.pair_potential(
+        _scene_positions(qe, cfg, base_positions, iters), w_q)
+
+
+def scene_accelerations(qe, qd, cfg: DynamicsConfig, rr: RodRodContact,
+                        base_positions, tip_force=None, iters: int = 16,
+                        tip_moment=None, extra_accel=None):
+    """``qdd`` for a multi-rod scene ``qe (..., R, nq)``.
+
+    Per-rod Euler–Lagrange assembly (the scene's mass matrix is block
+    diagonal — rods couple only through contact forces, so the solve
+    stays ``R`` independent ``(nq, nq)`` Gauss–Jordans) plus the exact
+    gradient of the rod–rod interaction potential.  ``base_positions
+    (R, 3)`` plants each rod's clamped base in the world frame.
+    """
+    m, rhs = _mass_and_rhs(qe, qd, cfg, tip_force, iters, tip_moment,
+                           extra_accel)
+    rhs = rhs - jax.grad(
+        lambda q: jnp.sum(rr.pair_potential(
+            _scene_positions(q, cfg, base_positions, iters),
+            jnp.asarray(cfg.statics.quad_weights, q.dtype))))(qe)
+    qdd = smallsolve.gauss_jordan_solve(m, rhs)
+    if cfg.damping:
+        qdd = qdd - cfg.damping * qd
+    return qdd
+
+
+def simulate_scene(qe0, qd0, cfg: DynamicsConfig, rr: RodRodContact,
+                   base_positions, dt: float, steps: int, tip_force=None,
+                   iters: int = 16, record_energy: bool = True,
+                   t0: float = 0.0) -> Trajectory:
+    """RK4 integration of a multi-rod contact scene ``qe0 (..., R, nq)``
+    under ``lax.scan`` — the scene analogue of :func:`simulate` (shared
+    per-rod ``cfg``; obstacles in ``cfg.contact``, gravity and driven
+    ``tip_force`` protocols all apply per rod).  ``Trajectory.energies``
+    records :func:`scene_energy` (interaction potential included, so the
+    undamped-collision conservation gate applies verbatim)."""
+    qe0 = jnp.asarray(qe0)
+    qd0 = jnp.asarray(qd0, qe0.dtype)
+    dtype = qe0.dtype
+
+    def deriv(state, t):
+        qe, qd = state
+        return qd, scene_accelerations(
+            qe, qd, cfg, rr, base_positions,
+            _load_at(tip_force, t, dtype), iters)
+
+    def rk4(state, _):
+        qe, qd, t = state
+        k1 = deriv((qe, qd), t)
+        k2 = deriv((qe + 0.5 * dt * k1[0], qd + 0.5 * dt * k1[1]),
+                   t + 0.5 * dt)
+        k3 = deriv((qe + 0.5 * dt * k2[0], qd + 0.5 * dt * k2[1]),
+                   t + 0.5 * dt)
+        k4 = deriv((qe + dt * k3[0], qd + dt * k3[1]), t + dt)
+        qe1 = qe + dt / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        qd1 = qd + dt / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        e = (scene_energy(qe1, qd1, cfg, rr, base_positions, iters)
+             if record_energy else jnp.zeros(qe1.shape[:-2], qe1.dtype))
+        return (qe1, qd1, t + dt), (qe1, qd1, e)
+
+    _, (qes, qds, energies) = jax.lax.scan(
+        rk4, (qe0, qd0, jnp.asarray(t0, dtype)), None, length=steps)
+    times = t0 + dt * jnp.arange(1, steps + 1, dtype=qe0.dtype)
+    return Trajectory(times=times, qes=qes, qds=qds, energies=energies)
 
 
 def _load_at(load, t, dtype):
@@ -526,7 +747,7 @@ def parametric_stability_map(cfg: DynamicsConfig, omegas, amplitudes,
                              load_dir=(-1.0, 0.0, 0.0), seed: float = 1e-4,
                              seed_index: int = 3, t_end: float = 25.0,
                              dt: float = 0.045, iters: int = 12,
-                             tol: float = 1e-8):
+                             tol: float = 2e-6):
     """Growth-factor map of parametric excitation over an (Omega, P1) grid.
 
     Drives the tip load ``P1 * cos(Omega t) * load_dir`` for every grid
@@ -538,6 +759,11 @@ def parametric_stability_map(cfg: DynamicsConfig, omegas, amplitudes,
     large growth; damping in ``cfg`` sets the tongue threshold.  The
     sweep tooling over the driven protocols (ROADMAP 'parametric
     excitation studies').
+
+    ``tol`` defaults to an f32-feasible 2e-6: on the f32 device path the
+    Newmark residual's cancellation floor at O(1) tongue amplitudes sits
+    near 1e-6 — a tighter default would spin every inner Newton to
+    ``max_newton`` once a sample grows.  Tighten only under x64.
     """
     omegas = jnp.asarray(omegas, jnp.float32)
     amplitudes = jnp.asarray(amplitudes, jnp.float32)

@@ -28,6 +28,7 @@ __all__ = [
     "sharded_solve_statics",
     "sharded_segmented_statics",
     "sharded_riks_walk",
+    "sharded_simulate",
 ]
 
 RODS_AXIS = "rods"
@@ -151,46 +152,56 @@ def sharded_segmented_statics(mesh: Mesh, cfg=None, **kwargs):
     ``(B, S, nq)``.  Each chip runs the fused-tier chained Newton
     (``solve_segmented_statics_batched``) on its local slab — segments
     chain WITHIN a chip (the junction trace is a local value), rods stay
-    embarrassingly parallel across chips."""
+    embarrassingly parallel across chips.  ``dd_residual=True`` is
+    forwarded AND its ``qe_lo`` words come back sharded."""
     import jax.numpy as jnp
 
     from ..models import segment_statics
 
     if cfg is None:
         cfg = segment_statics.SegmentedStaticsConfig()
+    dd = bool(kwargs.get("dd_residual"))
 
     def local(loads):
         sol = segment_statics.solve_segmented_statics_batched(
             loads, cfg=cfg, **kwargs)
         iters = jnp.full(loads.shape[:1], sol.iterations)
-        return sol.qe, iters, sol.residual_norm, sol.converged
+        out = (sol.qe, iters, sol.residual_norm, sol.converged)
+        return out + (sol.qe_lo,) if dd else out
 
+    out_specs = (P(RODS_AXIS, None, None), P(RODS_AXIS), P(RODS_AXIS),
+                 P(RODS_AXIS))
+    if dd:
+        out_specs = out_specs + (P(RODS_AXIS, None, None),)
     step = jax.shard_map(
         local, mesh=mesh,
         in_specs=P(RODS_AXIS, None),
-        out_specs=(P(RODS_AXIS, None, None), P(RODS_AXIS), P(RODS_AXIS),
-                   P(RODS_AXIS)),
+        out_specs=out_specs,
         check_vma=False,      # pallas_call carries no varying-axes info
     )
     batch_spec = NamedSharding(mesh, P(RODS_AXIS, None))
     jitted = jax.jit(step, in_shardings=batch_spec)
 
     def solve(loads):
-        qe, iters, rnorm, conv = jitted(loads)
+        out = jitted(loads)
+        qe, iters, rnorm, conv = out[:4]
         return segment_statics.SegmentedStaticsSolution(
-            qe=qe, iterations=iters, residual_norm=rnorm, converged=conv)
+            qe=qe, iterations=iters, residual_norm=rnorm, converged=conv,
+            qe_lo=out[4] if dd else None)
 
     return solve
 
 
 def sharded_riks_walk(mesh: Mesh, cfg=None, dd_residual: bool = False,
-                      **kwargs):
+                      monitor_stability: bool = False, **kwargs):
     """Multi-chip batched Riks continuation: ``load_refs (B, 3)`` ->
     :class:`~.cosserat.BatchedContinuationPath` with the SAMPLE axis (axis
     1 of every ``(steps, B, ...)`` output) sharded over the mesh.  Each
     chip scans its own family of load rays — paths are independent, so the
     device-resident walk needs no collectives.  ``dd_residual=True`` runs
-    the dd corrector per shard (the 1e-8-grade tier under sharding)."""
+    the dd corrector per shard (dd path points come back in
+    ``qes_lo``/``lambdas_lo``); ``monitor_stability=True`` returns the
+    per-shard determinant monitors too."""
     from ..models import cosserat
 
     if cfg is None:
@@ -198,14 +209,19 @@ def sharded_riks_walk(mesh: Mesh, cfg=None, dd_residual: bool = False,
 
     def local(load_refs):
         path = cosserat.arc_length_continuation_batched(
-            load_refs, cfg=cfg, dd_residual=dd_residual, **kwargs)
+            load_refs, cfg=cfg, dd_residual=dd_residual,
+            monitor_stability=monitor_stability, **kwargs)
         out = (path.lambdas, path.qes, path.converged)
+        if monitor_stability:
+            out = out + (path.det_sign, path.log_abs_det)
         if dd_residual:
             out = out + (path.lambdas_lo, path.qes_lo)
         return out
 
     out_specs = (P(None, RODS_AXIS), P(None, RODS_AXIS, None),
                  P(None, RODS_AXIS))
+    if monitor_stability:
+        out_specs = out_specs + (P(None, RODS_AXIS), P(None, RODS_AXIS))
     if dd_residual:
         out_specs = out_specs + (P(None, RODS_AXIS),
                                  P(None, RODS_AXIS, None))
@@ -219,14 +235,58 @@ def sharded_riks_walk(mesh: Mesh, cfg=None, dd_residual: bool = False,
                      in_shardings=NamedSharding(mesh, P(RODS_AXIS, None)))
 
     def walk(load_refs):
-        out = jitted(load_refs)
+        out = list(jitted(load_refs))
+        lam, qes, conv = out[:3]
+        rest = out[3:]
+        extra = {}
+        if monitor_stability:
+            extra.update(det_sign=rest[0], log_abs_det=rest[1])
+            rest = rest[2:]
         if dd_residual:
-            lam, qes, conv, lam_lo, qes_lo = out
-            return cosserat.BatchedContinuationPath(
-                lambdas=lam, qes=qes, converged=conv,
-                lambdas_lo=lam_lo, qes_lo=qes_lo)
-        lam, qes, conv = out
+            extra.update(lambdas_lo=rest[0], qes_lo=rest[1])
         return cosserat.BatchedContinuationPath(lambdas=lam, qes=qes,
-                                                converged=conv)
+                                                converged=conv, **extra)
 
     return walk
+
+
+def sharded_simulate(mesh: Mesh, cfg=None, implicit: bool = False,
+                     **kwargs):
+    """Multi-chip rod dynamics: ``(qe0, qd0) (B, nq)`` ->
+    :class:`~.dynamics.Trajectory` with the SAMPLE axis (axis 1 of every
+    ``(steps, B, ...)`` output) sharded over the mesh.  Each chip scans
+    its own family of initial conditions through the RK4
+    (:func:`~.dynamics.simulate`) or implicit-Newmark (``implicit=True``,
+    :func:`~.dynamics.simulate_implicit`) integrator — trajectories are
+    independent, so the device-resident time loop needs no collectives.
+    ``kwargs`` (``dt``, ``steps``, driven ``tip_force``/``tip_moment``/
+    ``base_accel`` protocols, ...) forward to the integrator; callables
+    of ``t`` are traced per shard on local slabs, so per-sample drives
+    must index only the LOCAL batch (use replicated drive parameters or
+    constants — the usual protocols)."""
+    from ..models import dynamics
+
+    if cfg is None:
+        cfg = dynamics.DynamicsConfig()
+
+    def local(qe0, qd0):
+        fn = dynamics.simulate_implicit if implicit else dynamics.simulate
+        traj = fn(qe0, qd0, cfg, **kwargs)
+        return traj.times, traj.qes, traj.qds, traj.energies
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(RODS_AXIS, None), P(RODS_AXIS, None)),
+        out_specs=(P(None), P(None, RODS_AXIS, None),
+                   P(None, RODS_AXIS, None), P(None, RODS_AXIS)),
+        check_vma=False,
+    )
+    batch_spec = NamedSharding(mesh, P(RODS_AXIS, None))
+    jitted = jax.jit(step, in_shardings=(batch_spec, batch_spec))
+
+    def run(qe0, qd0):
+        times, qes, qds, energies = jitted(qe0, qd0)
+        return dynamics.Trajectory(times=times, qes=qes, qds=qds,
+                                   energies=energies)
+
+    return run

@@ -371,3 +371,183 @@ def test_parametric_stability_map_locates_tongue():
     assert growth[1, 1] > 10.0 * growth[0, 1], growth
     assert growth[1, 1] > 10.0 * growth[2, 1], growth
     assert growth[1, 1] > growth[1, 0], growth   # stronger drive, more pump
+
+
+def test_contact_sphere_drape():
+    """Curved obstacle (ROADMAP 'obstacle contact beyond the half-space'):
+    a damped rod under gravity drapes over a sphere and rests on it —
+    penetration bounded by the penalty compliance — while the free rod
+    falls deep through the same region."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    base = dict(statics=scfg, rho_a=1.0, rho_i=1e-2, damping=6.0,
+                gravity=(0.0, 0.0, -8.0))
+    sphere = dyn.ContactSphere(center=(0.6, 0.0, -0.5), radius=0.35,
+                               stiffness=1e4, smoothing=1e-3)
+    qe0 = jnp.zeros(9)
+    qd0 = jnp.zeros(9)
+
+    def max_gap(contact):
+        cfg = dyn.DynamicsConfig(**base, contact=contact)
+        qe = jax.jit(lambda a, b: dyn.simulate_implicit(
+            a, b, cfg, dt=0.015, steps=240, iters=12, tol=1e-8,
+            record_energy=False).qes[-1])(qe0, qd0)
+        r = rod.rod_shape(qe, cfg=scfg.rod, method="picard",
+                          iters=24).positions
+        return float(jnp.max(sphere.gap(r)))
+
+    assert max_gap(sphere) < 0.01          # measured 0.0029 (compliance)
+    assert max_gap(None) > 0.25            # measured 0.33: falls through
+
+
+def test_contact_cylinder_drape():
+    """Cylinder obstacle: the rod bends over a transverse cylinder under
+    gravity and rests on its surface."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    base = dict(statics=scfg, rho_a=1.0, rho_i=1e-2, damping=6.0,
+                gravity=(0.0, 0.0, -8.0))
+    cyl = dyn.ContactCylinder(point=(0.55, 0.0, -0.45), axis=(0.0, 1.0, 0.0),
+                              radius=0.3, stiffness=1e4, smoothing=1e-3)
+    qe0 = jnp.zeros(9)
+    qd0 = jnp.zeros(9)
+
+    def max_gap(contact):
+        cfg = dyn.DynamicsConfig(**base, contact=contact)
+        qe = jax.jit(lambda a, b: dyn.simulate_implicit(
+            a, b, cfg, dt=0.015, steps=240, iters=12, tol=1e-8,
+            record_energy=False).qes[-1])(qe0, qd0)
+        r = rod.rod_shape(qe, cfg=scfg.rod, method="picard",
+                          iters=24).positions
+        return float(jnp.max(cyl.gap(r)))
+
+    assert max_gap(cyl) < 0.01             # measured 0.0027
+    assert max_gap(None) > 0.2             # measured 0.26
+
+
+def test_contact_sphere_interior_confines_swing():
+    """``interior=True`` confinement: swinging under gravity inside a
+    spherical shell of radius 0.85 keeps every point of the unit rod
+    inside (wall contact at the tip), while the free rod's tip stays out
+    near |r| = 1."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    base = dict(statics=scfg, rho_a=1.0, rho_i=1e-2, damping=5.0,
+                gravity=(0.0, 0.0, -4.0))
+    shell = dyn.ContactSphere(center=(0.0, 0.0, 0.0), radius=0.85,
+                              interior=True, stiffness=1e4, smoothing=1e-3)
+    qe0 = jnp.zeros(9)
+    qd0 = jnp.zeros(9)
+
+    def max_radius(contact):
+        cfg = dyn.DynamicsConfig(**base, contact=contact)
+        qe = jax.jit(lambda a, b: dyn.simulate_implicit(
+            a, b, cfg, dt=0.015, steps=240, iters=12, tol=1e-8,
+            record_energy=False).qes[-1])(qe0, qd0)
+        r = rod.rod_shape(qe, cfg=scfg.rod, method="picard",
+                          iters=24).positions
+        return float(jnp.max(jnp.linalg.norm(r, axis=-1)))
+
+    assert max_radius(shell) < 0.91        # measured 0.897 (compliance)
+    assert max_radius(None) > 0.97         # measured 0.986
+
+
+def test_contact_friction_dissipates_lateral_ringing():
+    """Regularized Coulomb friction as the ONLY dissipation channel: a rod
+    pressed onto the floor by gravity, kicked laterally, rings forever at
+    mu = 0 (energy conserved by the conservative penalty) but decays
+    hard at mu = 0.8 — late-window amplitude down ~7x, total energy
+    strictly decreased.  Steady STATES are friction-free by construction
+    (the regularized law has no static branch: v_t -> 0 => f_t -> 0), so
+    the observable is transient dissipation, which this gates."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+
+    def run(mu):
+        cfg = dyn.DynamicsConfig(
+            statics=scfg, rho_a=1.0, rho_i=1e-2, gravity=(0.0, 0.0, -8.0),
+            contact=dyn.ContactPlane(normal=(0.0, 0.0, 1.0), offset=-0.02,
+                                     stiffness=2e3, smoothing=2e-3,
+                                     friction=mu, friction_vel=1e-3))
+        qe0 = jnp.zeros(9)
+        qd0 = jnp.zeros(9).at[6].set(2.0)       # kappa3 kick: lateral (y)
+        tr = jax.jit(lambda a, b: dyn.simulate(
+            a, b, cfg, dt=0.002, steps=1200, iters=14))(qe0, qd0)
+        e = np.asarray(tr.energies)
+        return e, float(np.abs(np.asarray(tr.qes)[-300:, 6]).max())
+
+    e_free, amp_free = run(0.0)
+    e_fric, amp_fric = run(0.8)
+    # measured: amp 0.3705 -> 0.0526; E 0.1067 -> -0.0848 (gravity PE < 0)
+    assert abs(e_free[-1] - e_free[0]) < 1e-4 * abs(e_free[0]), e_free[-1]
+    assert e_fric[-1] < e_fric[0] - 0.1, (e_fric[0], e_fric[-1])
+    assert amp_fric < 0.25 * amp_free, (amp_fric, amp_free)
+
+
+def test_rod_rod_contact_separates_overlapping_pair():
+    """Rod-rod contact (ROADMAP 'rod-rod contact'): two parallel
+    cantilevers clamped 0.08 apart — inside the 2*radius = 0.1 contact
+    distance — bend each other apart; the settled outer halves clear the
+    contact distance.  (Without the interaction the straight equilibria
+    stay at 0.08 everywhere.)"""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    rr = dyn.RodRodContact(radius=0.05, stiffness=2e3, smoothing=2e-3)
+    bases = np.array([[0.0, 0.0, 0.0], [0.0, 0.08, 0.0]])
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2,
+                             damping=4.0)
+    qe0 = jnp.zeros((2, 9))
+    tr = jax.jit(lambda a, b: dyn.simulate_scene(
+        a, b, cfg, rr, bases, dt=0.004, steps=700, iters=12,
+        record_energy=False))(qe0, jnp.zeros_like(qe0))
+    r_all = rod.rod_shape(tr.qes[-1], cfg=scfg.rod, method="picard",
+                          iters=24).positions + bases[:, None, :]
+    h = r_all.shape[-2] // 2                    # outer half (tip = point 0)
+    d_outer = float(jnp.min(jnp.linalg.norm(
+        r_all[0][:h, None, :] - r_all[1][None, :h, :], axis=-1)))
+    tip_sep = float(jnp.linalg.norm(r_all[0][0] - r_all[1][0]))
+    assert d_outer > 0.095, d_outer             # measured 0.1143
+    assert tip_sep > 0.11, tip_sep              # measured 0.1297
+
+
+def test_rod_rod_scene_energy_conserved_at_rk4_order():
+    """The rod-rod interaction is an exact potential gradient: the
+    undamped two-rod collision conserves scene energy (interaction
+    included) at RK4 order — halving dt cuts the drift >~8x."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    rr = dyn.RodRodContact(radius=0.05, stiffness=2e3, smoothing=2e-3)
+    bases = np.array([[0.0, 0.0, 0.0], [0.0, 0.08, 0.0]])
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2)
+    qe0 = jnp.zeros((2, 9))
+    drifts = []
+    for dt, steps in [(0.002, 400), (0.001, 800)]:
+        tr = jax.jit(lambda a, b: dyn.simulate_scene(
+            a, b, cfg, rr, bases, dt=dt, steps=steps,
+            iters=16))(qe0, jnp.zeros_like(qe0))
+        e = np.asarray(tr.energies)
+        e_kin = max(
+            float(jnp.sum(dyn.kinetic_energy(
+                jnp.asarray(tr.qes[j]), jnp.asarray(tr.qds[j]), cfg)))
+            for j in range(0, steps, steps // 20))
+        drifts.append(abs(e[-1] - e[0]) / e_kin)
+    assert drifts[0] < 1e-5, drifts             # measured 2.5e-7
+    assert drifts[1] < drifts[0] / 8.0, drifts  # ~dt^4 (measured 27x)
