@@ -216,6 +216,27 @@ def main():
 
     dt_seg = _measure(jax.jit(seg_statics_step), seg_loads, reps=3)
 
+    # Rod dynamics throughput: batched RK4 Lagrangian steps (mass-matrix
+    # IFT tangents + Gauss-Jordan per stage) — rod-steps/sec over a family
+    # of initial conditions in one device-resident lax.scan.
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics,
+    )
+
+    dyn_cfg = dynamics.DynamicsConfig(statics=statics_cfg, rho_a=1.0,
+                                      rho_i=1e-2)
+    b_dyn = max(8, min(batch // 64, 2048))
+    dyn_steps = 25
+    qe_dyn = 0.3 * qes[:b_dyn]
+
+    def dynamics_step(q):
+        traj = dynamics.simulate(q, jnp.zeros_like(q), dyn_cfg, dt=0.002,
+                                 steps=dyn_steps, iters=10,
+                                 record_energy=False)
+        return jnp.sum(traj.qes[-1])
+
+    dt_dyn = _measure(jax.jit(dynamics_step), qe_dyn, reps=3)
+
     # Native C++ CPU baseline (reference algorithm, OpenMP threads).
     cpu_baseline = None
     try:
@@ -259,6 +280,8 @@ def main():
                 qes6.shape[0] / dt_reissner64, 1),
             "segmented_statics_bvp_solves_per_sec": round(
                 seg_loads.shape[0] / dt_seg, 1),
+            "dynamics_rk4_rod_steps_per_sec": round(
+                b_dyn * dyn_steps / dt_dyn, 1),
             "rel_linf_error_vs_f64_reference": rel_err,
             "accuracy_gate_1e-8": rel_err <= 1e-8,
             "cpu_reference_baseline": cpu_baseline,

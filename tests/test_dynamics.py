@@ -551,3 +551,117 @@ def test_rod_rod_scene_energy_conserved_at_rk4_order():
         drifts.append(abs(e[-1] - e[0]) / e_kin)
     assert drifts[0] < 1e-5, drifts             # measured 2.5e-7
     assert drifts[1] < drifts[0] / 8.0, drifts  # ~dt^4 (measured 27x)
+
+
+def test_self_contact_holds_coiling_rod_open():
+    """SELF-contact (``RodRodContact.self_window``): a soft rod whose
+    intrinsic curvature kappa0 coils it 1.27 turns in-plane would pass
+    through itself (free relaxation: grid self-distance ~0.004); with the
+    windowed self-penalty the coil is held open near the 2*radius = 0.08
+    contact distance (compliance-limited — the CGL pair weights leave
+    ~0.02 of penetration at this penalty stiffness) and the settled
+    curvature is pushed measurably below kappa0."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    kappa0 = np.zeros(9)
+    kappa0[6] = 8.0                     # constant k3: coil radius 1/8
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=20, ne=3),
+                                  kappa0=tuple(kappa0),
+                                  stiffness=(0.3, 0.3, 0.3))
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2,
+                             damping=8.0)
+    s_pts = jnp.asarray(scfg.rod.points[:-1])
+
+    def min_self_dist(qe):
+        r = rod.rod_shape(qe, cfg=scfg.rod, method="picard",
+                          iters=30).positions
+        d = jnp.linalg.norm(r[:, None, :] - r[None, :, :], axis=-1)
+        m = jnp.abs(s_pts[:, None] - s_pts[None, :]) >= 0.35
+        return float(jnp.min(jnp.where(m, d, jnp.inf)))
+
+    qe0 = jnp.zeros((1, 9))
+    bases = np.zeros((1, 3))
+
+    def relax(stiffness):
+        rr = dyn.RodRodContact(radius=0.04, stiffness=stiffness,
+                               smoothing=3e-3, self_window=0.35)
+        tr = jax.jit(lambda a, b: dyn.simulate_scene(
+            a, b, cfg, rr, bases, dt=0.002, steps=1800, iters=14,
+            record_energy=False))(qe0, jnp.zeros_like(qe0))
+        return tr.qes[-1, 0]
+
+    qe_con = relax(6e4)
+    qe_free = relax(0.0)
+    assert min_self_dist(qe_con) > 0.05, min_self_dist(qe_con)   # 0.0617
+    assert min_self_dist(qe_free) < 0.01, min_self_dist(qe_free)  # 0.0037
+    assert float(qe_con[6]) < 7.6, qe_con[6]    # contact fights kappa0=8
+    assert float(qe_free[6]) > 7.95, qe_free[6]
+
+
+def test_contact_statics_matches_weak_form_without_contact():
+    """The variational statics (Newton on the generalized-force balance of
+    the Lagrangian assembly) and the cosserat weak-form statics are two
+    discretizations of the same energy: without contact the equilibria
+    agree to quadrature accuracy (measured 3e-12 tip agreement)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2)
+    sol_v = dyn.solve_contact_statics(cfg, tip_force=(0.0, 0.0, 0.8),
+                                      tol=1e-10)
+    sol_c = cosserat.solve_statics(jnp.asarray([0.0, 0.0, 0.8]), cfg=scfg,
+                                   tol=1e-10, method="dense")
+    assert bool(sol_v.converged)
+    tip_v = rod.rod_shape(sol_v.qe, cfg=scfg.rod, method="picard",
+                          iters=30).tip_position
+    tip_c = rod.rod_shape(sol_c.qe, cfg=scfg.rod, method="picard",
+                          iters=30).tip_position
+    np.testing.assert_allclose(np.asarray(tip_v), np.asarray(tip_c),
+                               atol=1e-8)
+
+
+def test_contact_statics_drapes_on_floor_and_sphere():
+    """Draped equilibria solved DIRECTLY by damped Newton + per-sample
+    line search — no time integration: the rod rests on the floor plane
+    (and on a sphere) within the penalty compliance, including a batched
+    family of extra tip loads.  Without the line search the stiff-penalty
+    cold start diverges (documented in the docstring; measured)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    floor = -0.25
+    cfg_p = dyn.DynamicsConfig(
+        statics=scfg, rho_a=1.0, rho_i=1e-2, gravity=(0.0, 0.0, -8.0),
+        contact=dyn.ContactPlane(normal=(0.0, 0.0, 1.0), offset=floor,
+                                 stiffness=1e4, smoothing=1e-3))
+    sol = dyn.solve_contact_statics(cfg_p, tol=1e-8, max_iter=60)
+    assert bool(sol.converged), float(sol.residual_norm)
+    r = rod.rod_shape(sol.qe, cfg=scfg.rod, method="picard",
+                      iters=30).positions
+    z_min = float(jnp.min(r[..., 2]))
+    assert floor - 0.02 < z_min < floor + 0.05, z_min   # measured -0.2596
+
+    # batched family of downward tip loads on the same floor
+    loads = jnp.asarray([[0, 0, -0.3], [0, 0, -0.6], [0, 0, -0.9]],
+                        jnp.float64)
+    sol_b = dyn.solve_contact_statics(cfg_p, qe0=jnp.zeros((3, 9)),
+                                      tip_force=loads, tol=1e-8,
+                                      max_iter=60)
+    assert np.asarray(sol_b.converged).all()
+
+    sphere = dyn.ContactSphere(center=(0.6, 0.0, -0.5), radius=0.35,
+                               stiffness=1e4, smoothing=1e-3)
+    cfg_s = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2,
+                               gravity=(0.0, 0.0, -8.0), contact=sphere)
+    sol_s = dyn.solve_contact_statics(cfg_s, tol=1e-8, max_iter=60)
+    assert bool(sol_s.converged)
+    r_s = rod.rod_shape(sol_s.qe, cfg=scfg.rod, method="picard",
+                        iters=30).positions
+    g = float(jnp.max(sphere.gap(r_s)))
+    assert 0.0 < g < 0.01, g              # touching, compliance-limited

@@ -17,6 +17,7 @@ EXAMPLES = [
     "statics_sweep.py",
     "throughput.py",
     "bifurcation_diagram.py",
+    "contact_scene.py",
 ]
 
 
