@@ -64,6 +64,7 @@ __all__ = [
     "solve_contact_statics",
     "parametric_stability_map",
     "natural_frequencies",
+    "linearized_spectrum",
 ]
 
 
@@ -196,40 +197,81 @@ class RodRodContact:
     times ``2 radius`` (curvature-limited: a rod bent to radius rho has
     chord ``|Δs| ≈ 2 rho sin(Δs / 2 rho) < Δs``, so the window only
     needs to clear the tightest admissible bend).
+
+    ``friction`` adds the same regularized Coulomb law the obstacles
+    carry (see :class:`_Obstacle`) to every interacting point PAIR: the
+    tangential force on rod ``i`` point ``j`` from its partner is ``-mu
+    N_pair v_t / sqrt(|v_t|^2 + friction_vel^2)`` with ``v_t`` the
+    RELATIVE velocity of the pair projected off the pair direction and
+    ``N_pair`` the pair's nonnegative normal-force density.  The law is
+    antisymmetric under partner exchange (``v_t`` and the projector
+    flip together), so friction transmits momentum between the rods but
+    injects none, and its power ``-mu N |v_t|^2 / sqrt(...) <= 0`` is
+    dissipative pairwise by construction.  Self-contact pairs (under
+    ``self_window``) get the identical law.
     """
 
     radius: float = 0.05
     stiffness: float = 1e4
     smoothing: float = 1e-3
     self_window: float | None = None
+    friction: float = 0.0
+    friction_vel: float = 1e-3
 
-    def pair_potential(self, r_all, w_q, s_grid=None):
-        """Scene penalty energy at positions ``r_all (..., R, n, 3)``
-        (full grids, world frame), quadrature weights ``w_q (n,)``.
-        ``s_grid (n,)``: grid arclength coordinates, required when
-        ``self_window`` is set."""
+    def _pair_fields(self, r_all, s_grid):
+        """Pairwise geometry shared by the potential and the friction law:
+        separation vectors ``d (..., R, R, n, n, 3)`` (pointing from the
+        partner ``(k, l)`` to the point ``(i, j)``), distances, gap ramp
+        ``s`` / slope ``s'``, and the ORDERED interaction mask (1 for
+        every interacting ordered pair: ``i != k`` all points, ``i == k``
+        off-band points when ``self_window`` is set)."""
         d = (r_all[..., :, None, :, None, :]
              - r_all[..., None, :, None, :, :])        # (..., R, R, n, n, 3)
         dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-30)
         g = 2.0 * self.radius - dist
         s = self.smoothing * jax.nn.softplus(g / self.smoothing)
+        sprime = jax.nn.sigmoid(g / self.smoothing)
         nr, n = r_all.shape[-3], r_all.shape[-2]
-        # each unordered pair once: rods i < k (all point pairs), plus —
-        # under self_window — i == k with points j < l outside the band
-        mask = jnp.triu(jnp.ones((nr, nr), r_all.dtype),
-                        k=1)[:, :, None, None] * jnp.ones((n, n), r_all.dtype)
+        off = ((1.0 - jnp.eye(nr, dtype=r_all.dtype))[:, :, None, None]
+               * jnp.ones((n, n), r_all.dtype))
         if self.self_window is not None:
             if s_grid is None:
                 raise ValueError("self_window needs the grid arclengths")
             s_grid = jnp.asarray(s_grid, r_all.dtype)
             band = (jnp.abs(s_grid[:, None] - s_grid[None, :])
                     >= self.self_window).astype(r_all.dtype)
-            mask = mask + (jnp.eye(nr, dtype=r_all.dtype)[:, :, None, None]
-                           * (jnp.triu(jnp.ones((n, n), r_all.dtype), k=1)
-                              * band))
+            off = off + (jnp.eye(nr, dtype=r_all.dtype)[:, :, None, None]
+                         * ((1.0 - jnp.eye(n, dtype=r_all.dtype)) * band))
+        return d, dist, s, sprime, off
+
+    def pair_potential(self, r_all, w_q, s_grid=None):
+        """Scene penalty energy at positions ``r_all (..., R, n, 3)``
+        (full grids, world frame), quadrature weights ``w_q (n,)``.
+        ``s_grid (n,)``: grid arclength coordinates, required when
+        ``self_window`` is set."""
+        _, _, s, _, mask = self._pair_fields(r_all, s_grid)
         ww = w_q[:, None] * w_q[None, :]
-        return 0.5 * self.stiffness * jnp.einsum(
+        # mask counts every interacting ORDERED pair, i.e. each unordered
+        # pair twice — hence 1/4, not the usual 1/2.
+        return 0.25 * self.stiffness * jnp.einsum(
             "jl,ikjl,...ikjl->...", ww, mask, s * s)
+
+    def friction_force(self, r_all, v_all, w_q, s_grid=None):
+        """Per-point friction force field ``(..., R, n, 3)`` (a cotangent
+        on the scene positions) from grid velocities ``v_all`` — the
+        regularized pairwise Coulomb law of the class docstring."""
+        d, dist, s, sprime, mask = self._pair_fields(r_all, s_grid)
+        n_hat = d / dist[..., None]
+        v_rel = (v_all[..., :, None, :, None, :]
+                 - v_all[..., None, :, None, :, :])    # (..., R, R, n, n, 3)
+        v_t = v_rel - jnp.einsum("...c,...c->...", v_rel,
+                                 n_hat)[..., None] * n_hat
+        speed = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1)
+                         + self.friction_vel ** 2)
+        ww = w_q[:, None] * w_q[None, :]               # (j, l) weights
+        n_mag = self.stiffness * s * sprime * ww       # >= 0 by construction
+        coef = mask * (self.friction * n_mag / speed)
+        return -jnp.einsum("...ikjl,...ikjlc->...ijc", coef, v_t)
 
 
 @dataclass(frozen=True)
@@ -544,16 +586,28 @@ def scene_accelerations(qe, qd, cfg: DynamicsConfig, rr: RodRodContact,
     Per-rod Euler–Lagrange assembly (the scene's mass matrix is block
     diagonal — rods couple only through contact forces, so the solve
     stays ``R`` independent ``(nq, nq)`` Gauss–Jordans) plus the exact
-    gradient of the rod–rod interaction potential.  ``base_positions
-    (R, 3)`` plants each rod's clamped base in the world frame.
+    gradient of the rod–rod interaction potential and — when
+    ``rr.friction`` — the pairwise Coulomb field, both assembled as
+    cotangents on the scene positions and pulled back through ONE vjp
+    of the spectral solves.  ``base_positions (R, 3)`` plants each
+    rod's clamped base in the world frame.
     """
     m, rhs = _mass_and_rhs(qe, qd, cfg, tip_force, iters, tip_moment,
                            extra_accel)
-    rhs = rhs - jax.grad(
-        lambda q: jnp.sum(rr.pair_potential(
-            _scene_positions(q, cfg, base_positions, iters),
-            jnp.asarray(cfg.statics.quad_weights, q.dtype),
-            s_grid=cfg.rod.points)))(qe)
+    w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
+    r_all, pull = jax.vjp(
+        lambda q: _scene_positions(q, cfg, base_positions, iters), qe)
+    cot = -jax.grad(lambda r: jnp.sum(rr.pair_potential(
+        r, w_q, s_grid=cfg.rod.points)))(r_all)
+    if rr.friction:
+        # One linearized solve for the grid velocities (same pattern as
+        # the obstacle friction in _mass_and_rhs).
+        _, v_all = jax.jvp(
+            lambda q: _scene_positions(q, cfg, base_positions, iters),
+            (qe,), (qd,))
+        cot = cot + rr.friction_force(r_all, v_all, w_q,
+                                      s_grid=cfg.rod.points)
+    rhs = rhs + pull(cot)[0]
     qdd = smallsolve.gauss_jordan_solve(m, rhs)
     if cfg.damping:
         qdd = qdd - cfg.damping * qd
@@ -771,6 +825,34 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
     return Trajectory(times=times, qes=qes, qds=qds, energies=energies)
 
 
+def _balance_residual_fn(cfg: DynamicsConfig, tip_force, tip_moment,
+                         iters: int, rr=None, base_positions=None,
+                         scene_shape=None):
+    """The static generalized-force balance ``Q(qe)`` of
+    :func:`_mass_and_rhs` at ``qd = 0`` — elastic restoring, gravity, tip
+    wrench, obstacle penalties, and (``rr`` given) the rod–rod scene
+    potential — as a function of the FLATTENED coordinates (scenes pass
+    ``scene_shape = (R, nq)``; the flat layout makes the coupled Newton
+    and the spectrum Jacobian one dense ``(R nq, R nq)`` block)."""
+
+    def residual(qe):
+        if scene_shape is not None:
+            q = qe.reshape(qe.shape[:-1] + scene_shape)
+            _, rhs = _mass_and_rhs(q, jnp.zeros_like(q), cfg, tip_force,
+                                   iters, tip_moment)
+            rhs = rhs - jax.grad(
+                lambda q2: jnp.sum(rr.pair_potential(
+                    _scene_positions(q2, cfg, base_positions, iters),
+                    jnp.asarray(cfg.statics.quad_weights, q2.dtype),
+                    s_grid=cfg.rod.points)))(q)
+            return rhs.reshape(qe.shape)
+        _, rhs = _mass_and_rhs(qe, jnp.zeros_like(qe), cfg, tip_force,
+                               iters, tip_moment)
+        return rhs
+
+    return residual
+
+
 class ContactStaticsSolution(NamedTuple):
     qe: jnp.ndarray             # (..., nq)
     residual_norm: jnp.ndarray  # (...,)
@@ -781,7 +863,9 @@ class ContactStaticsSolution(NamedTuple):
 def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
                           tip_moment=None, tol: float = 1e-8,
                           max_iter: int = 40, iters: int = 16,
-                          line_search: bool = True) -> ContactStaticsSolution:
+                          line_search: bool = True,
+                          rr: RodRodContact | None = None,
+                          base_positions=None) -> ContactStaticsSolution:
     """Static equilibrium WITH the environment: Newton on the generalized
     force balance ``Q(qe) = 0`` of :func:`_mass_and_rhs` at ``qd = 0`` —
     elastic restoring, gravity, tip wrench, and every contact penalty
@@ -804,18 +888,31 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
     explodes (measured: the floor drape diverges without it, converges
     in ~20 damped steps with it).  Friction deliberately does NOT enter
     (the regularized law vanishes at rest — see ``_Obstacle``).
+
+    SCENES: pass ``rr`` (+ ``base_positions``) and a ``qe0`` with a rod
+    axis ``(..., R, nq)`` to solve multi-rod equilibria with the rod–rod
+    (and self-) penalty in the balance — e.g. one rod DRAPED over
+    another.  Contact couples the rods, so the Newton system is the
+    coupled ``(R nq, R nq)`` one (internally flattened; still batched
+    over the leading axes, still per-sample line-searched).
     """
     nq = cfg.rod.na * cfg.rod.ne
     if qe0 is None:
+        if rr is not None:
+            raise ValueError("scene statics needs an explicit qe0 "
+                             "(..., R, nq) to fix the rod count")
         qe0 = jnp.asarray(cfg.kappa0_modes,
                           jnp.float64 if jax.config.jax_enable_x64
                           else jnp.float32)
     qe0 = jnp.asarray(qe0)
+    scene_shape = None
+    if rr is not None:
+        scene_shape = qe0.shape[-2:]                  # (R, nq)
+        nq = scene_shape[0] * scene_shape[1]
+        qe0 = qe0.reshape(qe0.shape[:-2] + (nq,))
 
-    def residual(qe):
-        _, rhs = _mass_and_rhs(qe, jnp.zeros_like(qe), cfg, tip_force,
-                               iters, tip_moment)
-        return rhs
+    residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters, rr,
+                                    base_positions, scene_shape)
 
     def cond(state):
         qe, k, res = state
@@ -857,6 +954,8 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
     qe, k, res = jax.lax.while_loop(
         cond, body, (qe0, jnp.zeros((), jnp.int32), residual(qe0)))
     rn = jnp.linalg.norm(res, axis=-1)
+    if scene_shape is not None:
+        qe = qe.reshape(qe.shape[:-1] + scene_shape)
     return ContactStaticsSolution(qe=qe, residual_norm=rn, iterations=k,
                                   converged=rn <= tol)
 
@@ -925,3 +1024,68 @@ def natural_frequencies(cfg: DynamicsConfig, qe0=None, iters: int = 24):
     a = cinv @ k @ cinv.T
     evals = np.linalg.eigvalsh(0.5 * (a + a.T))
     return np.sqrt(np.clip(evals, 0.0, None))
+
+
+def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
+                        tip_moment=None, rr: RodRodContact | None = None,
+                        base_positions=None, iters: int = 24,
+                        modes: bool = False, symmetric: bool = True):
+    """Small-oscillation spectrum about an ARBITRARY equilibrium — loaded,
+    gravity-sagged, contacting, or a multi-rod scene.
+
+    Generalized eigenproblem ``K_eff v = omega^2 M(qe) v`` with ``K_eff =
+    -dQ/dqe`` the FULL Jacobian of the generalized-force balance (the
+    same residual :func:`solve_contact_statics` drives to zero), so it
+    carries everything :func:`natural_frequencies`'s bare ``K_ee``
+    misses: geometric stiffness of tip loads and gravity, obstacle
+    penalty stiffness at the active contact set, and the rod–rod
+    coupling blocks of a scene (``rr`` + rod-axis ``qe``; the scene mass
+    matrix is block diagonal, the stiffness is not).  Host f64, one
+    ``jacfwd`` of the balance.
+
+    Returns ``omega2`` sorted ascending — NEGATIVE entries flag an
+    unstable equilibrium (the classical omega^2-crosses-zero buckling
+    criterion: for the axially compressed cantilever the crossing load
+    matches :func:`bifurcation.linearized_buckling_loads`, gated).  With
+    ``modes=True`` also the mass-orthonormal mode-shape columns.
+
+    ``symmetric`` (default): conservative loads make ``K_eff`` symmetric
+    up to roundoff and the whitened problem Hermitian.  Pass ``False``
+    for NON-conservative loading (dead tip couples) to eigendecompose
+    the full nonsymmetric whitened operator — complex ``omega2`` pairs
+    then flag flutter-type (circulatory) instabilities that symmetric
+    analysis cannot see.
+    """
+    nq = cfg.rod.na * cfg.rod.ne
+    scene_shape = None
+    if qe is None:
+        if rr is not None:
+            raise ValueError("scene spectra need an explicit qe (R, nq)")
+        qe = jnp.asarray(cfg.kappa0_modes, jnp.float64
+                         if jax.config.jax_enable_x64 else jnp.float32)
+    qe = jnp.asarray(qe)
+    if rr is not None:
+        scene_shape = qe.shape[-2:]
+        qe_flat = qe.reshape((scene_shape[0] * scene_shape[1],))
+        m_rods = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
+        m = np.zeros((qe_flat.shape[0],) * 2)
+        for i in range(scene_shape[0]):               # block-diagonal mass
+            m[i * nq:(i + 1) * nq, i * nq:(i + 1) * nq] = m_rods[i]
+    else:
+        qe_flat = qe
+        m = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
+    residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters, rr,
+                                    base_positions, scene_shape)
+    k_eff = -np.asarray(jax.jacfwd(residual)(qe_flat), np.float64)
+    c = np.linalg.cholesky(m)
+    cinv = np.linalg.inv(c)
+    a = cinv @ k_eff @ cinv.T
+    if symmetric:
+        omega2, w = np.linalg.eigh(0.5 * (a + a.T))
+    else:
+        omega2, w = np.linalg.eig(a)
+        order = np.argsort(omega2.real)
+        omega2, w = omega2[order], w[:, order]
+    if not modes:
+        return omega2
+    return omega2, cinv.T @ w

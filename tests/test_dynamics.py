@@ -665,3 +665,163 @@ def test_contact_statics_drapes_on_floor_and_sphere():
                         iters=30).positions
     g = float(jnp.max(sphere.gap(r_s)))
     assert 0.0 < g < 0.01, g              # touching, compliance-limited
+
+
+def test_rod_rod_friction_force_properties():
+    """The pairwise Coulomb field is momentum-free (internal forces sum
+    to zero), dissipative (power against the velocity field <= 0), zero
+    at mu=0, and consistent under batching — the structural guarantees
+    the class docstring claims, checked directly on random states."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    rng = np.random.default_rng(3)
+    r_all = jnp.asarray(rng.normal(size=(3, 7, 3)) * 0.05)
+    v_all = jnp.asarray(rng.normal(size=(3, 7, 3)))
+    w_q = jnp.asarray(rng.uniform(0.1, 1.0, size=7))
+    s_grid = jnp.linspace(0.0, 1.0, 7)
+    rr = dyn.RodRodContact(radius=0.06, stiffness=1e3, smoothing=2e-3,
+                           self_window=0.3, friction=0.7)
+    f = rr.friction_force(r_all, v_all, w_q, s_grid=s_grid)
+    assert float(jnp.max(jnp.abs(jnp.sum(f, axis=(0, 1))))) < 1e-12
+    assert float(jnp.sum(f * v_all)) < 0.0
+    rr0 = dyn.RodRodContact(radius=0.06, stiffness=1e3, smoothing=2e-3,
+                            self_window=0.3, friction=0.0)
+    assert float(jnp.max(jnp.abs(
+        rr0.friction_force(r_all, v_all, w_q, s_grid=s_grid)))) == 0.0
+    fb = rr.friction_force(jnp.stack([r_all, r_all * 1.1]),
+                           jnp.stack([v_all, -v_all]), w_q, s_grid=s_grid)
+    np.testing.assert_allclose(np.asarray(fb[0]), np.asarray(f), rtol=1e-12)
+
+
+def test_rod_rod_friction_dissipates_scene_energy():
+    """Rod-rod Coulomb friction (ROADMAP 'rod-rod friction'): two
+    cantilevers clamped inside the contact distance, rod 0 kicked in a
+    TANGENTIAL bending mode (z, perpendicular to the y separation) so the
+    surfaces slide.  With mu=0 the otherwise-undamped scene conserves
+    energy (gated elsewhere at RK4 order); with mu=0.9 the sliding bleeds
+    it.  Gate: >35% of the scene energy dissipated by friction alone
+    while the frictionless run keeps >99%."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    bases = np.array([[0.0, 0.0, 0.0], [0.0, 0.08, 0.0]])
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2)
+    qe0 = jnp.zeros((2, 9))
+    kick = jnp.zeros((2, 9)).at[0, 3].set(2.0)   # k2-const: z-bending
+
+    def run(mu):
+        rr = dyn.RodRodContact(radius=0.05, stiffness=2e3, smoothing=2e-3,
+                               friction=mu, friction_vel=1e-3)
+        tr = jax.jit(lambda a, b: dyn.simulate_scene(
+            a, b, cfg, rr, bases, dt=0.002, steps=600, iters=14))(qe0, kick)
+        e = np.asarray(tr.energies)
+        return e[0], e[-1]
+
+    e0_f, ef_f = run(0.9)
+    e0_n, ef_n = run(0.0)
+    assert abs(ef_n - e0_n) < 0.01 * abs(e0_n), (e0_n, ef_n)
+    assert ef_f < 0.65 * e0_f, (e0_f, ef_f)
+
+
+def test_scene_contact_statics_rod_on_rod():
+    """Scene statics (`solve_contact_statics(rr=...)`): the coupled
+    Newton solves the two-cantilever separation equilibrium DIRECTLY —
+    the same state the damped dynamics of
+    `test_rod_rod_contact_separates_overlapping_pair` relaxes to (tip
+    separation ~0.13 from bases 0.08 apart) — and the solution is a
+    fixed point of `scene_accelerations` (|qdd| ~ residual tolerance)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    rr = dyn.RodRodContact(radius=0.05, stiffness=2e3, smoothing=2e-3)
+    bases = np.array([[0.0, 0.0, 0.0], [0.0, 0.08, 0.0]])
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2)
+    sol = dyn.solve_contact_statics(cfg, qe0=jnp.zeros((2, 9)), rr=rr,
+                                    base_positions=bases, tol=1e-10,
+                                    max_iter=60)
+    assert bool(sol.converged), float(sol.residual_norm)
+    assert sol.qe.shape == (2, 9)
+    r_all = rod.rod_shape(sol.qe, cfg=scfg.rod, method="picard",
+                          iters=24).positions + bases[:, None, :]
+    tip_sep = float(jnp.linalg.norm(r_all[0][0] - r_all[1][0]))
+    assert 0.11 < tip_sep < 0.15, tip_sep
+    qdd = dyn.scene_accelerations(sol.qe, jnp.zeros_like(sol.qe), cfg, rr,
+                                  bases)
+    assert float(jnp.max(jnp.abs(qdd))) < 1e-7, float(jnp.max(jnp.abs(qdd)))
+
+
+def test_linearized_spectrum_free_matches_natural_frequencies():
+    """About the unloaded rest state the full balance Jacobian reduces to
+    the elastic K_ee, so `linearized_spectrum` must reproduce
+    `natural_frequencies` to roundoff (measured 2.8e-14)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2)
+    om2 = dyn.linearized_spectrum(cfg)
+    om = dyn.natural_frequencies(cfg)
+    np.testing.assert_allclose(np.sqrt(np.clip(om2, 0.0, None)), om,
+                               atol=1e-10)
+
+
+def test_linearized_spectrum_omega2_crosses_zero_at_buckling():
+    """The omega^2-crosses-zero stability criterion agrees with the
+    bifurcation tooling: under axial tip load P the smallest eigenvalue
+    of the full (geometric-stiffness-bearing) spectrum is positive at
+    0.95 P_cr and negative at 1.05 P_cr, with P_cr from
+    `bifurcation.linearized_buckling_loads` (measured +-0.64 about 0)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        bifurcation,
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2)
+    pcr = bifurcation.linearized_buckling_loads((-1.0, 0.0, 0.0), scfg)
+    p = float(pcr[pcr > 0][0])
+    lo = dyn.linearized_spectrum(cfg, tip_force=(-0.95 * p, 0.0, 0.0))
+    hi = dyn.linearized_spectrum(cfg, tip_force=(-1.05 * p, 0.0, 0.0))
+    assert lo[0] > 0.3, lo[0]
+    assert hi[0] < -0.3, hi[0]
+
+
+def test_linearized_spectrum_contact_and_scene():
+    """Spectra about CONTACTING equilibria: the floor-rested sagging rod
+    is stable (all omega^2 > 0) and stiffer than free in its lowest mode
+    (the penalty adds stiffness at the active contact set); the two-rod
+    separated-pair scene equilibrium is stable with the coupled
+    (2 nq)-spectrum all positive."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        dynamics as dyn,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dyn.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-2)
+    om2_free = dyn.linearized_spectrum(cfg)
+
+    cfg_p = dyn.DynamicsConfig(
+        statics=scfg, rho_a=1.0, rho_i=1e-2, gravity=(0.0, 0.0, -8.0),
+        contact=dyn.ContactPlane(normal=(0.0, 0.0, 1.0), offset=-0.25,
+                                 stiffness=1e4, smoothing=1e-3))
+    sol = dyn.solve_contact_statics(cfg_p, tol=1e-8, max_iter=60)
+    assert bool(sol.converged)
+    om2_c = dyn.linearized_spectrum(cfg_p, qe=sol.qe)
+    assert om2_c[0] > om2_free[0] > 0, (om2_c[0], om2_free[0])
+
+    rr = dyn.RodRodContact(radius=0.05, stiffness=2e3, smoothing=2e-3)
+    bases = np.array([[0.0, 0.0, 0.0], [0.0, 0.08, 0.0]])
+    sol_s = dyn.solve_contact_statics(cfg, qe0=jnp.zeros((2, 9)), rr=rr,
+                                      base_positions=bases, tol=1e-10,
+                                      max_iter=60)
+    assert bool(sol_s.converged)
+    om2_s = dyn.linearized_spectrum(cfg, qe=sol_s.qe, rr=rr,
+                                    base_positions=bases)
+    assert om2_s.shape == (18,) and om2_s[0] > 0, om2_s[0]
