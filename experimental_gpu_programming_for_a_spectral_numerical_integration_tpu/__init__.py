@@ -32,7 +32,7 @@ from .models.rod import (
     demo_qe,
 )
 from .models import (ivp, cosserat, segments, calibration, dynamics,
-                     bifurcation, segment_statics)
+                     bifurcation, segment_statics, tendon)
 
 __version__ = "0.1.0"
 
@@ -64,4 +64,5 @@ __all__ = [
     "dynamics",
     "bifurcation",
     "segment_statics",
+    "tendon",
 ]

@@ -53,6 +53,7 @@ from . import rod
 __all__ = [
     "StaticsConfig",
     "StaticsSolution",
+    "stiffness_profile",
     "equilibrium_residual",
     "equilibrium_residual_dd",
     "residual_and_jacobian_fused",
@@ -80,6 +81,14 @@ class StaticsConfig:
     ``distributed_force``: constant force density per unit length in the
     world frame (e.g. ``(0, 0, -rho g A)`` for gravity), applied along the
     whole rod via the spectral partial-integral operator.
+
+    Non-uniform rods: ``stiffness`` also accepts an ``(n, na)`` nested
+    tuple of per-grid-point diagonals — a smooth constitutive profile
+    ``H(X)`` (tapered/graded sections; build with
+    :func:`stiffness_profile`).  Smooth profiles keep spectral accuracy;
+    for genuinely DISCONTINUOUS laws (stepped rods) use
+    :mod:`.segment_statics`, whose per-segment constants capture the jump
+    exactly.
     """
 
     rod: rod.RodConfig = field(default_factory=lambda: rod.RodConfig(n=64))
@@ -163,6 +172,24 @@ def _full_grid_state(cfg: rod.RodConfig, qe, q_init, r_init, iters,
     return q, r
 
 
+def stiffness_profile(fn, rc: rod.RodConfig) -> tuple:
+    """Freeze a smooth constitutive profile ``H(X)`` into a
+    :class:`StaticsConfig`-compatible ``(n, na)`` nested tuple.
+
+    ``fn`` maps the normalized arclength array ``X (n,)`` (descending,
+    tip→base — the CGL ordering of `chebyshev_differentiation.h:26`) to
+    per-point diagonals ``(n, na)``.  The tuple form keeps the config
+    hashable (valid jit static argument) and the table an exact host f64
+    constant for the dd residual's split.
+    """
+    xs = np.asarray(rc.points, np.float64) / rc.length
+    h = np.asarray(fn(xs), np.float64)
+    if h.ndim != 2 or h.shape[0] != rc.n or h.shape[1] != rc.na:
+        raise ValueError(
+            f"profile fn returned {h.shape}, need ({rc.n}, {rc.na})")
+    return tuple(map(tuple, h.tolist()))
+
+
 def equilibrium_residual(qe, tip_force, tip_moment, cfg: StaticsConfig,
                          iters: int = 24, method: str = "picard",
                          auto_rho_limit: float = 5.0):
@@ -205,13 +232,17 @@ def _residual_from_state(qe, q, r, tip_force, tip_moment, cfg: StaticsConfig):
     dtype = qe.dtype
     table = jnp.asarray(cfg.full_basis_table, dtype)       # (n, ne)
     w = jnp.asarray(cfg.quad_weights, dtype)               # (n,)
-    h = jnp.asarray(cfg.stiffness, dtype)                  # (na,)
+    h = jnp.asarray(cfg.stiffness, dtype)                  # (na,) | (n, na)
     if h.shape[-1] != rc.na:
         raise ValueError(
             f"stiffness has {h.shape[-1]} entries but rod.na = {rc.na}; "
             "use 3 (Kirchhoff: GJ, EI_y, EI_z) or 6 (Reissner: + EA, GA_y, "
             "GA_z with rod.na = 6)"
         )
+    if h.ndim == 2 and h.shape[0] != rc.n:
+        raise ValueError(
+            f"stiffness profile has {h.shape[0]} rows but the rod grid has "
+            f"{rc.n} points; build it with cosserat.stiffness_profile")
 
     # Strain field on the full grid (curvature, + shear/extension if na=6).
     kappa = basis_ops.strain_at_points(qe, table)          # (..., n, na)
@@ -456,11 +487,13 @@ def equilibrium_residual_dd(qe, tip_force, tip_moment, cfg: StaticsConfig,
             ]
         tau = tau + rod._rt_apply_dd(r_cols, f_tot)
 
-    # mr = H xi - tau, dd; H is an exact-split f64 constant.
+    # mr = H xi - tau, dd; H is an exact-split f64 constant — either the
+    # uniform (na,) law or an (n, na) grid profile (broadcasts over the
+    # trailing point axis either way).
     h_hi, h_lo = dd.split_f64(np.asarray(cfg.stiffness, np.float64))
     mr = []
     for a in range(rc.na):
-        hk = dd.dd_mul(jnp.asarray(h_hi[a]), jnp.asarray(h_lo[a]),
+        hk = dd.dd_mul(jnp.asarray(h_hi[..., a]), jnp.asarray(h_lo[..., a]),
                        xi_hi[..., a], xi_lo[..., a])
         mr.append(dd.dd_add(*hk, *dd.dd_neg(*tau[a])))
 

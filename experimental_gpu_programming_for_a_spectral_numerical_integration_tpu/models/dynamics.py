@@ -41,6 +41,7 @@ import jax.numpy as jnp
 
 from ..ops import smallsolve
 from . import cosserat, rod
+from . import tendon as tendon_mod
 
 __all__ = [
     "ContactPlane",
@@ -301,6 +302,10 @@ class DynamicsConfig:
     # One obstacle or a tuple of them (plane / sphere / cylinder mix);
     # penalty forces sum.
     contact: _Obstacle | tuple | None = None
+    # Routed cables (models/tendon.py): actuation forces are the exact
+    # gradients of the routed lengths, scaled by the runtime ``tension``
+    # argument of accelerations/simulate*/solve_contact_statics.
+    tendons: tuple = ()
 
     @property
     def contacts(self) -> tuple:
@@ -337,12 +342,21 @@ def stiffness_matrix(scfg: cosserat.StaticsConfig) -> np.ndarray:
     """
     table = scfg.full_basis_table                  # (n, ne)
     w = scfg.quad_weights                          # (n,)
-    gram = table.T @ (w[:, None] * table)          # (ne, ne)
     h = np.asarray(scfg.stiffness, np.float64)
     rc = scfg.rod
     if h.shape[-1] != rc.na:
         raise ValueError(f"stiffness has {h.shape[-1]} entries, na={rc.na}")
-    return np.kron(np.diag(h), gram)               # (na*ne, na*ne)
+    if h.ndim == 1:
+        gram = table.T @ (w[:, None] * table)      # (ne, ne)
+        return np.kron(np.diag(h), gram)           # (na*ne, na*ne)
+    # (n, na) grid profile: per-component weighted Grams on the block
+    # diagonal — same (a, e) index layout as the kron path.
+    ne = table.shape[1]
+    out = np.zeros((rc.na * ne, rc.na * ne))
+    for a in range(rc.na):
+        ga = table.T @ ((w * h[:, a])[:, None] * table)
+        out[a * ne:(a + 1) * ne, a * ne:(a + 1) * ne] = ga
+    return out
 
 
 def _state_full(qe, cfg: DynamicsConfig, iters: int):
@@ -407,15 +421,21 @@ def mass_matrix(qe, cfg: DynamicsConfig, iters: int = 16):
                                      om_cols, precision="highest"))
 
 
-def potential_energy(qe, cfg: DynamicsConfig):
-    """Elastic energy ``1/2 dqe^T K_ee dqe`` (+ gravity and contact-penalty
-    potentials)."""
+def potential_energy(qe, cfg: DynamicsConfig, tension=None):
+    """Elastic energy ``1/2 dqe^T K_ee dqe`` (+ gravity, contact-penalty
+    and — for constant ``tension`` — tendon potentials ``T_k l_k``)."""
     dq = qe - jnp.asarray(cfg.kappa0_modes, qe.dtype)
     k = jnp.asarray(cfg.k_ee, qe.dtype)
     v = 0.5 * jnp.einsum("...i,ij,...j->...", dq, k, dq,
                          precision="highest")
+    actuated = tension is not None and cfg.tendons
+    if actuated:
+        r, q = _state_full(qe, cfg, 16)
+        lens = tendon_mod.lengths_from_state(
+            r, q, cfg.tendons, cfg.rod, cfg.statics.quad_weights)
+        v = v + jnp.sum(jnp.asarray(tension, qe.dtype) * lens, axis=-1)
     if cfg.gravity is not None or cfg.contacts:
-        r = _positions_full(qe, cfg, 16)
+        r = r if actuated else _positions_full(qe, cfg, 16)
         w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
         if cfg.gravity is not None:
             g = jnp.asarray(cfg.gravity, qe.dtype)
@@ -434,12 +454,15 @@ def kinetic_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16):
                             precision="highest")
 
 
-def total_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16):
-    return kinetic_energy(qe, qd, cfg, iters) + potential_energy(qe, cfg)
+def total_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16,
+                 tension=None):
+    return kinetic_energy(qe, qd, cfg, iters) + potential_energy(
+        qe, cfg, tension)
 
 
 def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
-                  iters: int = 16, tip_moment=None, extra_accel=None):
+                  iters: int = 16, tip_moment=None, extra_accel=None,
+                  tension=None):
     """``(M(qe), rhs)`` of the Euler-Lagrange balance ``M qdd = rhs``
     (damping excluded — see :func:`accelerations`).
 
@@ -449,6 +472,10 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
     ``extra_accel``: additional uniform acceleration field (the d'Alembert
     term of prescribed base motion rides in through here — see
     :func:`simulate`).
+    ``tension``: ``(..., K)`` cable tensions for ``cfg.tendons`` — the
+    actuation force is the exact gradient ``-sum_k T_k dl_k/dqe`` of the
+    routed lengths, entering as one more ``(r, q)`` cotangent on the
+    shared load pullback (models/tendon.py).
     """
     k = jnp.asarray(cfg.k_ee, qe.dtype)
     dqe = qe - jnp.asarray(cfg.kappa0_modes, qe.dtype)
@@ -477,8 +504,9 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
     # assembling them first and pulling back once avoids re-running the
     # spectral solve per term (tip force, tip couple, gravity/base motion,
     # contact penalty + dashpot each used to pay their own).
+    actuated = tension is not None and cfg.tendons
     if (tip_force is not None or tip_moment is not None
-            or cfg.contacts or g_eff is not None):
+            or cfg.contacts or g_eff is not None or actuated):
         (r_full, q_full), pull = jax.vjp(
             lambda q: _state_full(q, cfg, iters), qe)
         w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
@@ -504,6 +532,17 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
             # gravity / d'Alembert body force: rho_a w_j g per point
             r_cot = r_cot + cfg.rho_a * w_q[:, None] * jnp.broadcast_to(
                 g_eff[..., None, :], r_full.shape)
+        if actuated:
+            # Tendon actuation: -T_k grad l_k as a cotangent on the full
+            # state (the routed-length map depends on BOTH r and q).
+            t_vec = jnp.asarray(tension, qe.dtype)
+            lens, pull_l = jax.vjp(
+                lambda r_, q_: tendon_mod.lengths_from_state(
+                    r_, q_, cfg.tendons, cfg.rod,
+                    cfg.statics.quad_weights), r_full, q_full)
+            dr_l, dq_l = pull_l(jnp.broadcast_to(-t_vec, lens.shape))
+            r_cot = r_cot + dr_l
+            q_cot = q_cot + dq_l
         if cfg.contacts:
             rdot = None
             if any(ct.damping or ct.friction for ct in cfg.contacts):
@@ -546,14 +585,15 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
 
 
 def accelerations(qe, qd, cfg: DynamicsConfig, tip_force=None,
-                  iters: int = 16, tip_moment=None, extra_accel=None):
+                  iters: int = 16, tip_moment=None, extra_accel=None,
+                  tension=None):
     """``qdd`` from the Euler-Lagrange equations, batched over leading axes.
 
     ``M qdd = Q_ext - K_ee dqe - (dM/dt) qd + 1/2 grad(qd^T M qd)``,
     then mass-proportional damping ``qdd -= damping qd``.
     """
     m, rhs = _mass_and_rhs(qe, qd, cfg, tip_force, iters, tip_moment,
-                           extra_accel)
+                           extra_accel, tension)
     qdd = smallsolve.gauss_jordan_solve(m, rhs)
     if cfg.damping:
         qdd = qdd - cfg.damping * qd
@@ -675,7 +715,8 @@ class Trajectory(NamedTuple):
 def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
              tip_force=None, iters: int = 16,
              record_energy: bool = True, tip_moment=None,
-             base_accel=None, t0: float = 0.0) -> Trajectory:
+             base_accel=None, t0: float = 0.0,
+             tension=None) -> Trajectory:
     """RK4 time integration under ``lax.scan`` — jittable, batched.
 
     **Driven protocols** (VERDICT r2 next #7): ``tip_force``,
@@ -698,7 +739,8 @@ def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
         return qd, accelerations(
             qe, qd, cfg, _load_at(tip_force, t, dtype), iters,
             tip_moment=_load_at(tip_moment, t, dtype),
-            extra_accel=None if ea is None else -ea)
+            extra_accel=None if ea is None else -ea,
+            tension=_load_at(tension, t, dtype))
 
     def rk4(state, _):
         qe, qd, t = state
@@ -710,7 +752,9 @@ def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
         k4 = deriv((qe + dt * k3[0], qd + dt * k3[1]), t + dt)
         qe = qe + dt / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
         qd = qd + dt / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
-        e = (total_energy(qe, qd, cfg, iters) if record_energy
+        e = (total_energy(qe, qd, cfg, iters,
+                          tension=_load_at(tension, t + dt, dtype))
+             if record_energy
              else jnp.zeros(qe.shape[:-1], qe.dtype))
         return (qe, qd, t + dt), (qe, qd, e)
 
@@ -725,7 +769,8 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
                       beta: float = 0.25, gamma: float = 0.5,
                       tol: float = 1e-9, max_newton: int = 20,
                       record_energy: bool = True, tip_moment=None,
-                      base_accel=None, t0: float = 0.0) -> Trajectory:
+                      base_accel=None, t0: float = 0.0,
+                      tension=None) -> Trajectory:
     """Newmark-beta time integration (implicit; default = trapezoidal /
     average-acceleration, unconditionally stable for the linearized
     system).
@@ -755,11 +800,12 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
         ea = _load_at(base_accel, t, dtype)
         return (_load_at(tip_force, t, dtype),
                 _load_at(tip_moment, t, dtype),
-                None if ea is None else -ea)
+                None if ea is None else -ea,
+                _load_at(tension, t, dtype))
 
-    tf0, tm0, ea0 = loads_at(jnp.asarray(t0, dtype))
+    tf0, tm0, ea0, tn0 = loads_at(jnp.asarray(t0, dtype))
     a0 = accelerations(qe0, qd0, cfg, tf0, iters, tip_moment=tm0,
-                       extra_accel=ea0)
+                       extra_accel=ea0, tension=tn0)
     inv_bdt2 = 1.0 / (beta * dt * dt)
 
     def newmark_va(q1, q0, v0, acc0):
@@ -769,8 +815,8 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
 
     def step_residual(q1, q0, v0, acc0, t1):
         v1, a1 = newmark_va(q1, q0, v0, acc0)
-        tf, tm, ea = loads_at(t1)
-        m, rhs = _mass_and_rhs(q1, v1, cfg, tf, iters, tm, ea)
+        tf, tm, ea, tn = loads_at(t1)
+        m, rhs = _mass_and_rhs(q1, v1, cfg, tf, iters, tm, ea, tn)
         lhs = a1 + (cfg.damping * v1 if cfg.damping else 0.0)
         return jnp.einsum("...ij,...j->...i", m, lhs) - rhs
 
@@ -814,7 +860,9 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
             cond, body, (q_pred, jnp.zeros((), jnp.int32),
                          residual(q_pred)))
         v1, a1 = newmark_va(q1, q0, v0, acc0)
-        e = (total_energy(q1, v1, cfg, iters) if record_energy
+        e = (total_energy(q1, v1, cfg, iters,
+                          tension=_load_at(tension, t1, dtype))
+             if record_energy
              else jnp.zeros(q1.shape[:-1], q1.dtype))
         return (q1, v1, a1, t1), (q1, v1, e)
 
@@ -827,7 +875,7 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
 
 def _balance_residual_fn(cfg: DynamicsConfig, tip_force, tip_moment,
                          iters: int, rr=None, base_positions=None,
-                         scene_shape=None):
+                         scene_shape=None, tension=None):
     """The static generalized-force balance ``Q(qe)`` of
     :func:`_mass_and_rhs` at ``qd = 0`` — elastic restoring, gravity, tip
     wrench, obstacle penalties, and (``rr`` given) the rod–rod scene
@@ -839,7 +887,7 @@ def _balance_residual_fn(cfg: DynamicsConfig, tip_force, tip_moment,
         if scene_shape is not None:
             q = qe.reshape(qe.shape[:-1] + scene_shape)
             _, rhs = _mass_and_rhs(q, jnp.zeros_like(q), cfg, tip_force,
-                                   iters, tip_moment)
+                                   iters, tip_moment, tension=tension)
             rhs = rhs - jax.grad(
                 lambda q2: jnp.sum(rr.pair_potential(
                     _scene_positions(q2, cfg, base_positions, iters),
@@ -847,7 +895,7 @@ def _balance_residual_fn(cfg: DynamicsConfig, tip_force, tip_moment,
                     s_grid=cfg.rod.points)))(q)
             return rhs.reshape(qe.shape)
         _, rhs = _mass_and_rhs(qe, jnp.zeros_like(qe), cfg, tip_force,
-                               iters, tip_moment)
+                               iters, tip_moment, tension=tension)
         return rhs
 
     return residual
@@ -865,7 +913,8 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
                           max_iter: int = 40, iters: int = 16,
                           line_search: bool = True,
                           rr: RodRodContact | None = None,
-                          base_positions=None) -> ContactStaticsSolution:
+                          base_positions=None,
+                          tension=None) -> ContactStaticsSolution:
     """Static equilibrium WITH the environment: Newton on the generalized
     force balance ``Q(qe) = 0`` of :func:`_mass_and_rhs` at ``qd = 0`` —
     elastic restoring, gravity, tip wrench, and every contact penalty
@@ -888,6 +937,11 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
     explodes (measured: the floor drape diverges without it, converges
     in ~20 damped steps with it).  Friction deliberately does NOT enter
     (the regularized law vanishes at rest — see ``_Obstacle``).
+
+    TENDONS: with ``cfg.tendons`` set, ``tension (..., K)`` adds the
+    actuation forces (exact routed-length gradients, models/tendon.py) to
+    the balance — actuated equilibria of a tendon-driven section, solvable
+    jointly with gravity/contact.
 
     SCENES: pass ``rr`` (+ ``base_positions``) and a ``qe0`` with a rod
     axis ``(..., R, nq)`` to solve multi-rod equilibria with the rod–rod
@@ -912,7 +966,7 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
         qe0 = qe0.reshape(qe0.shape[:-2] + (nq,))
 
     residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters, rr,
-                                    base_positions, scene_shape)
+                                    base_positions, scene_shape, tension)
 
     def cond(state):
         qe, k, res = state
@@ -1029,7 +1083,8 @@ def natural_frequencies(cfg: DynamicsConfig, qe0=None, iters: int = 24):
 def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
                         tip_moment=None, rr: RodRodContact | None = None,
                         base_positions=None, iters: int = 24,
-                        modes: bool = False, symmetric: bool = True):
+                        modes: bool = False, symmetric: bool = True,
+                        tension=None):
     """Small-oscillation spectrum about an ARBITRARY equilibrium — loaded,
     gravity-sagged, contacting, or a multi-rod scene.
 
@@ -1075,7 +1130,7 @@ def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
         qe_flat = qe
         m = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
     residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters, rr,
-                                    base_positions, scene_shape)
+                                    base_positions, scene_shape, tension)
     k_eff = -np.asarray(jax.jacfwd(residual)(qe_flat), np.float64)
     c = np.linalg.cholesky(m)
     cinv = np.linalg.inv(c)

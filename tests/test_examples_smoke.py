@@ -18,6 +18,7 @@ EXAMPLES = [
     "throughput.py",
     "bifurcation_diagram.py",
     "contact_scene.py",
+    "tendon_robot.py",
 ]
 
 
