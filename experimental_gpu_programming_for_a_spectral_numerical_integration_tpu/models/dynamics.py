@@ -187,8 +187,10 @@ class RodRodContact:
 
     whose exact gradient (one ``jax.grad`` through the spectral solves)
     is the interaction force — undamped scenes conserve energy to
-    integrator order.  O(R^2 n^2) pairwise terms: all-pairs on the MXU,
-    no broad-phase — sized for scenes of a few rods, not hair simulation.
+    integrator order.  O(R^2 n^2) pairwise terms: all-pairs on the MXU
+    by default — exact and fine at O(10) rods; for O(100)+ set
+    ``budget`` (static-shape candidate gather, see the field comment and
+    :meth:`broadphase_overflow`).
 
     ``self_window`` (arclength) turns on SELF-contact: point pairs of the
     SAME rod with ``|s_j - s_l| >= self_window`` enter the same penalty —
@@ -218,6 +220,17 @@ class RodRodContact:
     self_window: float | None = None
     friction: float = 0.0
     friction_vel: float = 1e-3
+    # Broad-phase: with ``budget = K`` each rod interacts only with its K
+    # most-promising partners (smallest bounding-sphere surface distance,
+    # a static-shape top-k gather), turning the all-pairs O(R^2 n^2)
+    # fields into O(R K n^2) — the O(100)-rod regime.  SIZING CONTRACT:
+    # K must cover every genuinely-near partner (check with
+    # :meth:`broadphase_overflow`); a pair present in only one rod's
+    # candidate list contributes at half stiffness, but the force stays
+    # the exact gradient of a translation-invariant potential, so energy
+    # and momentum conservation are unconditional.  ``budget >= R - 1``
+    # (or ``None``) routes to the exact all-pairs path.
+    budget: int | None = None
 
     def _pair_fields(self, r_all, s_grid):
         """Pairwise geometry shared by the potential and the friction law:
@@ -245,34 +258,169 @@ class RodRodContact:
                          * ((1.0 - jnp.eye(n, dtype=r_all.dtype)) * band))
         return d, dist, s, sprime, off
 
+    def _use_broadphase(self, r_all) -> bool:
+        nr = r_all.shape[-3]
+        return self.budget is not None and self.budget < nr - 1
+
+    def _partner_index(self, r_all):
+        """``(..., R, K)`` candidate partner rods: the ``budget`` smallest
+        bounding-sphere SURFACE distances (centroid separation minus both
+        bounding radii — tighter than raw centroid distance for rods of
+        unequal extent).  Indices are data-dependent but static-shape, so
+        the gather jits; AD flows through the gathered values (top-k
+        membership is piecewise constant, and with an adequate budget the
+        marginal pairs carry ~zero penalty, so the force stays smooth)."""
+        cent = jnp.mean(r_all, axis=-2)                  # (..., R, 3)
+        rad = jnp.max(jnp.linalg.norm(r_all - cent[..., None, :], axis=-1),
+                      axis=-1)                           # (..., R)
+        diff = cent[..., :, None, :] - cent[..., None, :, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-30)
+        surf = dist - rad[..., :, None] - rad[..., None, :]
+        nr = r_all.shape[-3]
+        surf = jnp.where(jnp.eye(nr, dtype=bool), jnp.inf, surf)
+        _, idx = jax.lax.top_k(-surf, self.budget)       # (..., R, K)
+        return idx
+
+    def _gather_partner(self, field, idx):
+        """``field (..., R, n, c)`` gathered at partner rods: ``(..., R,
+        K, n, c)``."""
+        nr, n, c = field.shape[-3], field.shape[-2], field.shape[-1]
+        lead = field.shape[:-3]
+        f_exp = jnp.broadcast_to(field[..., None, :, :, :],
+                                 lead + (nr, nr, n, c))
+        i_exp = jnp.broadcast_to(idx[..., :, :, None, None],
+                                 lead + (nr, self.budget, n, c))
+        return jnp.take_along_axis(f_exp, i_exp, axis=-3)
+
+    def _gathered_fields(self, r_all, idx):
+        """Gathered analogue of :meth:`_pair_fields`: separation vectors
+        ``d (..., R, K, n, n, 3)`` (partner point ``l`` to own point
+        ``j``), distances, penalty ramp and slope."""
+        r_part = self._gather_partner(r_all, idx)        # (..., R, K, n, 3)
+        d = (r_all[..., :, None, :, None, :]
+             - r_part[..., :, :, None, :, :])            # (..., R, K, n, n, 3)
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-30)
+        g = 2.0 * self.radius - dist
+        s = self.smoothing * jax.nn.softplus(g / self.smoothing)
+        sprime = jax.nn.sigmoid(g / self.smoothing)
+        return d, dist, s, sprime
+
+    def _self_band_fields(self, r_all, s_grid):
+        """Same-rod off-band point pairs (the ``self_window`` law) as
+        ``(..., R, n, n)`` fields — shared by the broad-phase potential
+        and friction, where the rod-level gather never yields self."""
+        if s_grid is None:
+            raise ValueError("self_window needs the grid arclengths")
+        d = r_all[..., :, :, None, :] - r_all[..., :, None, :, :]
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-30)
+        g = 2.0 * self.radius - dist
+        s = self.smoothing * jax.nn.softplus(g / self.smoothing)
+        sprime = jax.nn.sigmoid(g / self.smoothing)
+        s_grid = jnp.asarray(s_grid, r_all.dtype)
+        n = r_all.shape[-2]
+        band = (jnp.abs(s_grid[:, None] - s_grid[None, :])
+                >= self.self_window).astype(r_all.dtype)
+        mask = band * (1.0 - jnp.eye(n, dtype=r_all.dtype))
+        return d, dist, s, sprime, mask
+
+    def broadphase_overflow(self, r_all, margin: float | None = None):
+        """Sizing-contract check for ``budget``: True (per leading batch
+        element) when some ACTUALLY-near partner — minimum point-pair
+        distance below ``2 radius + margin`` — is missing from the
+        candidate set the gather would select, i.e. the broad-phase
+        fields would drop a real interaction.  Exact but all-pairs
+        (O(R^2 n^2), one dense potential's cost): a sizing-time
+        diagnostic to run on representative configurations when choosing
+        ``K``, not a hot-loop guard."""
+        if self.budget is None or not self._use_broadphase(r_all):
+            return jnp.zeros(r_all.shape[:-3], bool)
+        if margin is None:
+            margin = 6.0 * self.smoothing
+        d = (r_all[..., :, None, :, None, :]
+             - r_all[..., None, :, None, :, :])        # (..., R, R, n, n, 3)
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-30)
+        mind = jnp.min(dist, axis=(-1, -2))            # (..., R, R)
+        nr = r_all.shape[-3]
+        near = jnp.where(jnp.eye(nr, dtype=bool), False,
+                         mind < 2.0 * self.radius + margin)
+        idx = self._partner_index(r_all)               # (..., R, K)
+        member = jnp.any(jax.nn.one_hot(idx, nr, dtype=bool), axis=-2)
+        return jnp.any(jnp.logical_and(near, ~member), axis=(-1, -2))
+
     def pair_potential(self, r_all, w_q, s_grid=None):
         """Scene penalty energy at positions ``r_all (..., R, n, 3)``
         (full grids, world frame), quadrature weights ``w_q (n,)``.
         ``s_grid (n,)``: grid arclength coordinates, required when
-        ``self_window`` is set."""
-        _, _, s, _, mask = self._pair_fields(r_all, s_grid)
+        ``self_window`` is set.  With ``budget`` set, rod–rod terms run
+        on the gathered candidate set (self-contact keeps its exact
+        per-rod band)."""
         ww = w_q[:, None] * w_q[None, :]
-        # mask counts every interacting ORDERED pair, i.e. each unordered
-        # pair twice — hence 1/4, not the usual 1/2.
-        return 0.25 * self.stiffness * jnp.einsum(
-            "jl,ikjl,...ikjl->...", ww, mask, s * s)
+        if not self._use_broadphase(r_all):
+            _, _, s, _, mask = self._pair_fields(r_all, s_grid)
+            # mask counts every interacting ORDERED pair, i.e. each
+            # unordered pair twice — hence 1/4, not the usual 1/2.
+            return 0.25 * self.stiffness * jnp.einsum(
+                "jl,ikjl,...ikjl->...", ww, mask, s * s)
+        idx = self._partner_index(r_all)
+        _, _, s, _ = self._gathered_fields(r_all, idx)
+        v = 0.25 * self.stiffness * jnp.einsum(
+            "jl,...ikjl->...", ww, s * s)
+        if self.self_window is not None:
+            _, _, s_s, _, mask = self._self_band_fields(r_all, s_grid)
+            v = v + 0.25 * self.stiffness * jnp.einsum(
+                "jl,...ijl->...", ww, mask * s_s * s_s)
+        return v
+
+    @staticmethod
+    def _coulomb_field(d, dist, s, sprime, v_rel, ww, stiffness, mu,
+                       friction_vel):
+        """Shared regularized pairwise Coulomb law: tangential force per
+        (own point, partner point) pair, contracted over partner axes.
+        ``d/dist/s/sprime`` pairwise fields with partner axes ``(-3, -2)``
+        of the scalars; returns the per-own-point force field."""
+        n_hat = d / dist[..., None]
+        v_t = v_rel - jnp.einsum("...c,...c->...", v_rel,
+                                 n_hat)[..., None] * n_hat
+        speed = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1) + friction_vel ** 2)
+        n_mag = stiffness * s * sprime * ww            # >= 0 by construction
+        coef = mu * n_mag / speed
+        return coef, v_t
 
     def friction_force(self, r_all, v_all, w_q, s_grid=None):
         """Per-point friction force field ``(..., R, n, 3)`` (a cotangent
         on the scene positions) from grid velocities ``v_all`` — the
-        regularized pairwise Coulomb law of the class docstring."""
-        d, dist, s, sprime, mask = self._pair_fields(r_all, s_grid)
-        n_hat = d / dist[..., None]
-        v_rel = (v_all[..., :, None, :, None, :]
-                 - v_all[..., None, :, None, :, :])    # (..., R, R, n, n, 3)
-        v_t = v_rel - jnp.einsum("...c,...c->...", v_rel,
-                                 n_hat)[..., None] * n_hat
-        speed = jnp.sqrt(jnp.sum(v_t * v_t, axis=-1)
-                         + self.friction_vel ** 2)
+        regularized pairwise Coulomb law of the class docstring.  With
+        ``budget`` set, rod–rod pairs run on the gathered candidate set
+        (self-contact keeps its exact per-rod band)."""
         ww = w_q[:, None] * w_q[None, :]               # (j, l) weights
-        n_mag = self.stiffness * s * sprime * ww       # >= 0 by construction
-        coef = mask * (self.friction * n_mag / speed)
-        return -jnp.einsum("...ikjl,...ikjlc->...ijc", coef, v_t)
+        if not self._use_broadphase(r_all):
+            d, dist, s, sprime, mask = self._pair_fields(r_all, s_grid)
+            v_rel = (v_all[..., :, None, :, None, :]
+                     - v_all[..., None, :, None, :, :])  # (...,R,R,n,n,3)
+            coef, v_t = self._coulomb_field(
+                d, dist, s, sprime, v_rel, ww, self.stiffness,
+                self.friction, self.friction_vel)
+            return -jnp.einsum("...ikjl,...ikjlc->...ijc", mask * coef, v_t)
+        idx = self._partner_index(r_all)
+        d, dist, s, sprime = self._gathered_fields(r_all, idx)
+        v_part = self._gather_partner(v_all, idx)
+        v_rel = (v_all[..., :, None, :, None, :]
+                 - v_part[..., :, :, None, :, :])      # (..., R, K, n, n, 3)
+        coef, v_t = self._coulomb_field(
+            d, dist, s, sprime, v_rel, ww, self.stiffness, self.friction,
+            self.friction_vel)
+        f = -jnp.einsum("...ikjl,...ikjlc->...ijc", coef, v_t)
+        if self.self_window is not None:
+            d_s, dist_s, s_s, sp_s, mask = self._self_band_fields(
+                r_all, s_grid)
+            v_rel_s = (v_all[..., :, :, None, :]
+                       - v_all[..., :, None, :, :])    # (..., R, n, n, 3)
+            coef_s, v_t_s = self._coulomb_field(
+                d_s, dist_s, s_s, sp_s, v_rel_s, ww, self.stiffness,
+                self.friction, self.friction_vel)
+            f = f - jnp.einsum("...ijl,...ijlc->...ijc", mask * coef_s,
+                               v_t_s)
+        return f
 
 
 @dataclass(frozen=True)
