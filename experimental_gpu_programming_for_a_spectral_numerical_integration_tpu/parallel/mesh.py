@@ -29,6 +29,7 @@ __all__ = [
     "sharded_segmented_statics",
     "sharded_riks_walk",
     "sharded_simulate",
+    "sharded_actuated_statics",
 ]
 
 RODS_AXIS = "rods"
@@ -142,6 +143,46 @@ def sharded_solve_statics(mesh: Mesh, cfg=None, **kwargs):
         qe, iters, rnorm, conv = jitted(loads)
         return cosserat.StaticsSolution(qe=qe, iterations=iters,
                                         residual_norm=rnorm, converged=conv)
+
+    return solve
+
+
+def sharded_actuated_statics(mesh: Mesh, cfg, **kwargs):
+    """Multi-chip tendon-actuated equilibria: ``tension (B, K)`` ->
+    :class:`~.dynamics.ContactStaticsSolution` — the workspace-sweep
+    workload of a tendon-driven section (``cfg.tendons`` required).  Each
+    chip Newton-solves its local slab of actuation commands
+    (:func:`~.dynamics.solve_contact_statics` is batched over leading
+    axes); rods are independent, so no collectives."""
+    import jax.numpy as jnp
+
+    from ..models import dynamics
+
+    if not cfg.tendons:
+        raise ValueError("sharded_actuated_statics needs cfg.tendons")
+    nq = cfg.rod.na * cfg.rod.ne
+
+    def local(tension):
+        qe0 = jnp.zeros(tension.shape[:-1] + (nq,), tension.dtype)
+        sol = dynamics.solve_contact_statics(cfg, qe0=qe0, tension=tension,
+                                             **kwargs)
+        iters = jnp.full(tension.shape[:1], sol.iterations)
+        return sol.qe, iters, sol.residual_norm, sol.converged
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(RODS_AXIS, None),
+        out_specs=(P(RODS_AXIS, None), P(RODS_AXIS), P(RODS_AXIS),
+                   P(RODS_AXIS)),
+        check_vma=False,
+    )
+    jitted = jax.jit(step, in_shardings=NamedSharding(mesh, P(RODS_AXIS,
+                                                              None)))
+
+    def solve(tension):
+        qe, iters, rnorm, conv = jitted(tension)
+        return dynamics.ContactStaticsSolution(
+            qe=qe, residual_norm=rnorm, iterations=iters, converged=conv)
 
     return solve
 

@@ -190,3 +190,37 @@ def test_sharded_simulate_matches_unsharded():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(traj.energies),
                                np.asarray(ref.energies), rtol=2e-4)
+
+
+def test_sharded_actuated_statics_matches_unsharded():
+    """Multi-chip tendon workspace sweep: each chip Newton-solves its slab
+    of actuation commands under shard_map; results equal the
+    single-device batched actuated solve."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        cosserat,
+        dynamics,
+        rod,
+        tendon,
+    )
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.parallel import (
+        mesh as pmesh,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=8))
+    cfg = dynamics.DynamicsConfig(
+        statics=scfg,
+        tendons=(tendon.Tendon(offset=(0.0, 0.0, 0.05)),
+                 tendon.Tendon(offset=(0.0, 0.05, 0.0))))
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.default_rng(11)
+    tensions = jnp.asarray(rng.uniform(0.0, 1.5, (16, 2)), jnp.float32)
+    act = pmesh.sharded_actuated_statics(mesh, cfg=cfg, tol=1e-5,
+                                         max_iter=10, iters=10)
+    sol = act(pmesh.shard_rods(mesh, tensions))
+    assert np.asarray(sol.converged).all()
+    assert len(sol.qe.sharding.device_set) == 8
+    ref = dynamics.solve_contact_statics(
+        cfg, qe0=jnp.zeros((16, 9), jnp.float32), tension=tensions,
+        tol=1e-5, max_iter=10, iters=10)
+    np.testing.assert_allclose(np.asarray(sol.qe), np.asarray(ref.qe),
+                               atol=3e-5)
