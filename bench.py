@@ -237,6 +237,30 @@ def main():
 
     dt_dyn = _measure(jax.jit(dynamics_step), qe_dyn, reps=3)
 
+    # Tendon-actuated equilibria (the continuum-robot workspace sweep):
+    # batched damped Newton on the Lagrangian balance with exact
+    # routed-length-gradient actuation forces (models/tendon.py).
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        tendon,
+    )
+
+    act_cfg = dynamics.DynamicsConfig(
+        statics=statics_cfg,
+        tendons=(tendon.Tendon(offset=(0.0, 0.0, 0.05)),
+                 tendon.Tendon(offset=(0.0, 0.043, -0.025)),
+                 tendon.Tendon(offset=(0.0, -0.043, -0.025))))
+    b_act = max(8, min(batch // 32, 4096)) if not interpret else 64
+    tens = jnp.asarray(
+        np.random.default_rng(2).uniform(0.0, 2.0, (b_act, 3)), jnp.float32)
+    qe0_act = jnp.zeros((b_act, 9), jnp.float32)
+
+    def actuated_step(t):
+        return jnp.sum(dynamics.solve_contact_statics(
+            act_cfg, qe0=qe0_act, tension=t, tol=2e-5, max_iter=12,
+            iters=12).qe)
+
+    dt_act = _measure(jax.jit(actuated_step), tens, reps=3)
+
     # Native C++ CPU baseline (reference algorithm, OpenMP threads).
     cpu_baseline = None
     try:
@@ -282,6 +306,7 @@ def main():
                 seg_loads.shape[0] / dt_seg, 1),
             "dynamics_rk4_rod_steps_per_sec": round(
                 b_dyn * dyn_steps / dt_dyn, 1),
+            "actuated_statics_solves_per_sec": round(b_act / dt_act, 1),
             "rel_linf_error_vs_f64_reference": rel_err,
             "accuracy_gate_1e-8": rel_err <= 1e-8,
             "cpu_reference_baseline": cpu_baseline,

@@ -446,6 +446,15 @@ class DynamicsConfig:
     # stiffness-proportional: the latter makes the high-frequency torsion
     # modes' decay rates stiff, destroying explicit-RK4 stability.)
     damping: float = 0.0
+    # Kelvin-Voigt INTERNAL (material) damping: the constitutive law
+    # H (kappa + kv_damping * kappa_dot), whose modal projection is the
+    # generalized force -kv_damping * K_ee qd — per-mode damping ratio
+    # zeta_k = kv_damping * omega_k / 2 (high modes decay FASTER, the
+    # physical soft-material signature; the mass-proportional `damping`
+    # above decays all modes equally).  Stiffness-proportional rates are
+    # stiff: pair with `simulate_implicit` (explicit RK4 needs dt below
+    # the torsion branch's damped scale).
+    kv_damping: float = 0.0
     gravity: tuple | None = None
     # One obstacle or a tuple of them (plane / sphere / cylinder mix);
     # penalty forces sum.
@@ -628,6 +637,11 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
     k = jnp.asarray(cfg.k_ee, qe.dtype)
     dqe = qe - jnp.asarray(cfg.kappa0_modes, qe.dtype)
     rhs = -jnp.einsum("ij,...j->...i", k, dqe, precision="highest")
+    if cfg.kv_damping:
+        # Kelvin-Voigt: -kv K_ee qd = int Phi^T H (kv kappa_dot) dX,
+        # dissipative by SPD-ness of K_ee (power = -kv qd^T K qd <= 0).
+        rhs = rhs - cfg.kv_damping * jnp.einsum("ij,...j->...i", k, qd,
+                                                precision="highest")
 
     # Coriolis/centrifugal via AD: dM/dt = jvp of M along qd.
     m, mdot = jax.jvp(lambda q: mass_matrix(q, cfg, iters), (qe,), (qd,))

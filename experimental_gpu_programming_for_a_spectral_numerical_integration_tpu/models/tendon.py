@@ -281,7 +281,8 @@ def tendon_ik(target_tip, cfg, tension0=None, gn_steps: int = 12,
         free = 1.0 - frozen.astype(dtype)                 # (..., K)
         jtj = jnp.einsum("...ck,...cl->...kl", j_tip, j_tip)
         jtj = (free[..., :, None] * free[..., None, :] * jtj
-               + (lm_damping * free + frozen.astype(dtype)) * eye)
+               + (lm_damping * free
+                  + frozen.astype(dtype))[..., None, :] * eye)
         step = smallsolve.gauss_jordan_solve(jtj, free * g)
         return qe, jnp.maximum(tension - free * step, min_tension)
 

@@ -218,3 +218,23 @@ def test_actuated_spectrum_reduces_to_natural_at_zero_tension():
     sol_t = dynamics.solve_contact_statics(cfg, tension=t_vec, tol=1e-11)
     omega2_t = dynamics.linearized_spectrum(cfg, qe=sol_t.qe, tension=t_vec)
     assert float(np.min(omega2_t)) > 0.0
+
+
+def test_tendon_ik_batched_targets():
+    """A workspace of targets inverts in ONE call (leading batch axes all
+    the way through the equilibrium solves, sensitivities and the
+    active-set Gauss-Newton update)."""
+    delta = 0.05
+    offs = [(0.0, delta * np.cos(a), delta * np.sin(a))
+            for a in (0.0, 2 * np.pi / 3, 4 * np.pi / 3)]
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dynamics.DynamicsConfig(
+        statics=scfg, tendons=tuple(tendon.Tendon(offset=o) for o in offs))
+    t_true = jnp.asarray([[2.0, 0.0, 0.5], [0.0, 1.5, 0.2]])
+    sol = dynamics.solve_contact_statics(cfg, qe0=jnp.zeros((2, 9)),
+                                         tension=t_true, tol=1e-11)
+    targets = rod.rod_shape(sol.qe, cfg=cfg.rod, method="picard",
+                            iters=16).tip_position
+    ik = tendon.tendon_ik(targets, cfg, gn_steps=14)
+    assert ik.tension.shape == (2, 3)
+    assert float(jnp.max(ik.tip_error)) < 1e-6
