@@ -39,7 +39,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import smallsolve
+from ..ops import lie, smallsolve
 from . import cosserat, rod
 from . import tendon as tendon_mod
 
@@ -66,6 +66,7 @@ __all__ = [
     "parametric_stability_map",
     "natural_frequencies",
     "linearized_spectrum",
+    "damped_spectrum",
 ]
 
 
@@ -678,6 +679,16 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
             # Q_tip = J_tip^T F (tip = point 0 of the full grid)
             f = jnp.broadcast_to(jnp.asarray(tip_force, qe.dtype),
                                  qe.shape[:-1] + (3,))
+            if cfg.statics.follower:
+                # FOLLOWER load (cosserat.py:261-266 convention): the
+                # force is given in the TIP BODY frame and rides the
+                # current tip orientation.  Non-conservative: the
+                # q_full(qe) dependence of the rotation is exactly the
+                # circulatory stiffness that `linearized_spectrum
+                # (symmetric=False)` / `damped_spectrum` need for
+                # flutter (Beck-column) analysis — jacfwd of this
+                # residual differentiates through it.
+                f = lie.quat_rotate_normalized(q_full[..., 0, :], f)
             r_cot = r_cot.at[..., 0, :].add(f)
         if tip_moment is not None:
             # Q_M = (dq_tip/dqe)^T (domega/ddq)^T M: virtual work of a
@@ -1268,10 +1279,13 @@ def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
 
     ``symmetric`` (default): conservative loads make ``K_eff`` symmetric
     up to roundoff and the whitened problem Hermitian.  Pass ``False``
-    for NON-conservative loading (dead tip couples) to eigendecompose
-    the full nonsymmetric whitened operator — complex ``omega2`` pairs
-    then flag flutter-type (circulatory) instabilities that symmetric
-    analysis cannot see.
+    for NON-conservative loading (dead tip couples, or FOLLOWER tip
+    forces via ``cfg.statics.follower`` — ``tip_force`` then given in
+    the tip body frame) to eigendecompose the full nonsymmetric whitened
+    operator — complex ``omega2`` pairs then flag flutter-type
+    (circulatory) instabilities that symmetric analysis cannot see.
+    Gated on Beck's column: flutter at the classical 20.05 EI/L^2 with
+    no static divergence (tests/test_dynamics.py).
     """
     nq = cfg.rod.na * cfg.rod.ne
     scene_shape = None
@@ -1306,3 +1320,45 @@ def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
     if not modes:
         return omega2
     return omega2, cinv.T @ w
+
+
+def damped_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
+                    tip_moment=None, iters: int = 24, tension=None):
+    """Complex small-oscillation POLES about an equilibrium, damping in.
+
+    First-order (companion) eigenproblem of the linearized balance
+
+        M qdd + C qd + K_eff dq = 0,   C = damping * M + kv_damping * K_ee,
+
+    with ``K_eff = -dQ/dqe`` the same full Jacobian
+    :func:`linearized_spectrum` uses (geometric/contact/tendon stiffness
+    included) and ``C`` collecting BOTH viscous models (mass-proportional
+    rigid drag + Kelvin-Voigt material dissipation).  Returns the ``2 nq``
+    eigenvalues of ``[[0, I], [-M^{-1} K_eff, -M^{-1} C]]`` sorted by
+    ``|Im|``: underdamped modes come in conjugate pairs
+    ``lambda = -zeta omega +- i omega sqrt(1 - zeta^2)`` with
+    ``zeta_k = (damping / omega_k + kv_damping * omega_k) / 2``; at zero
+    damping it reduces to ``+-i sqrt(omega2)`` of
+    :func:`linearized_spectrum` (gated).  A pole with positive real part
+    flags a flutter/divergence instability INCLUDING damping effects —
+    the classical case where damping destabilizes a circulatory
+    (follower-load) system that the undamped analysis calls marginally
+    stable.  Host f64, one ``jacfwd`` of the balance.
+    """
+    nq = cfg.rod.na * cfg.rod.ne
+    if qe is None:
+        qe = jnp.asarray(cfg.kappa0_modes, jnp.float64
+                         if jax.config.jax_enable_x64 else jnp.float32)
+    qe = jnp.asarray(qe)
+    m = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
+    residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters,
+                                    tension=tension)
+    k_eff = -np.asarray(jax.jacfwd(residual)(qe), np.float64)
+    c = cfg.damping * m + cfg.kv_damping * np.asarray(cfg.k_ee, np.float64)
+    minv = np.linalg.inv(m)
+    comp = np.block([
+        [np.zeros((nq, nq)), np.eye(nq)],
+        [-minv @ k_eff, -minv @ c],
+    ])
+    poles = np.linalg.eigvals(comp)
+    return poles[np.argsort(np.abs(poles.imag))]

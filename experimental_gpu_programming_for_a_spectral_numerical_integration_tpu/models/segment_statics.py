@@ -51,6 +51,7 @@ __all__ = [
     "SegmentedStaticsSolution",
     "segmented_equilibrium_residual",
     "segmented_equilibrium_residual_dd",
+    "segmented_tendon_lengths",
     "segmented_residual_and_jacobian_fused",
     "solve_segmented_statics",
     "solve_segmented_statics_batched",
@@ -67,6 +68,18 @@ class SegmentedStaticsConfig:
     broadcast to all segments.  ``kappa0``: per-segment modal rest strains
     ``(S, na*ne)`` or ``None``.  ``follower``: tip force given in the tip
     body frame.
+
+    ``tendons``: routed cables (:class:`~.tendon.Tendon`) — THIS is the
+    spectrally-correct home for MID-ROD TENDON TERMINATIONS: a cable
+    anchored at segment ``tendon_end[k]``'s tip covers segments
+    ``0..tendon_end[k]`` only, so the kinked equilibrium it induces is
+    piecewise smooth per segment and every per-segment integral stays
+    spectral (the single-rod tier documents exactly this limitation —
+    models/tendon.py).  ``tendon_end`` defaults to full coverage (global
+    tip anchors).  Each tendon's routing field is evaluated per covered
+    segment on that segment's own normalized grid; keep the offsets
+    continuous across junctions for a physical cable (constant offsets
+    trivially are).
     """
 
     rods: segments.SegmentedRodConfig = field(
@@ -74,6 +87,25 @@ class SegmentedStaticsConfig:
     stiffness: tuple = (1.0, 1.0, 1.0)
     kappa0: tuple | None = None
     follower: bool = False
+    tendons: tuple = ()
+    tendon_end: tuple | None = None
+
+    @property
+    def tendon_last_segment(self) -> tuple:
+        """Per-tendon index of the last covered segment (anchor site)."""
+        if not self.tendons:
+            return ()
+        if self.tendon_end is None:
+            return (self.rods.num_segments - 1,) * len(self.tendons)
+        if len(self.tendon_end) != len(self.tendons):
+            raise ValueError(
+                f"tendon_end has {len(self.tendon_end)} entries for "
+                f"{len(self.tendons)} tendons")
+        for e in self.tendon_end:
+            if not 0 <= int(e) < self.rods.num_segments:
+                raise ValueError(f"tendon_end entry {e} outside "
+                                 f"0..{self.rods.num_segments - 1}")
+        return tuple(int(e) for e in self.tendon_end)
 
     @functools.cached_property
     def stiffness_per_segment(self) -> np.ndarray:
@@ -190,11 +222,41 @@ def _segment_residual_from_state(qe_s, q_full, r_full, r_tip, q_tip,
     return r_s.reshape(r_s.shape[:-2] + (seg.na * seg.ne,))
 
 
+def segmented_tendon_lengths(qe_segs, cfg: SegmentedStaticsConfig,
+                             iters: int = 24, method: str = "picard"):
+    """Routed lengths ``(..., K)`` of ``cfg.tendons`` over their covered
+    segments — each segment's contribution is the spectral length integral
+    of :func:`~.tendon.lengths_from_state` on that segment's own grid, so
+    a mid-rod termination (anchor at a junction) loses no accuracy."""
+    from . import tendon as tendon_mod
+
+    qe_segs = jnp.asarray(qe_segs)
+    qs, rs, _ = _chained_full_states(qe_segs, cfg, iters, method)
+    last = cfg.tendon_last_segment
+    lens = []
+    for k, t in enumerate(cfg.tendons):
+        total = 0.0
+        for s in range(last[k] + 1):
+            seg = cfg.rods.segments[s]
+            total = total + tendon_mod.lengths_from_state(
+                rs[s], qs[s], (t,), seg, cfg.quad_weights[s])[..., 0]
+        lens.append(total)
+    return jnp.stack(lens, axis=-1)
+
+
 def segmented_equilibrium_residual(qe_segs, tip_force, tip_moment,
                                    cfg: SegmentedStaticsConfig,
                                    iters: int = 24,
-                                   method: str = "picard"):
-    """Stacked weak-form balance residual ``(..., S, na*ne)``."""
+                                   method: str = "picard",
+                                   tension=None):
+    """Stacked weak-form balance residual ``(..., S, na*ne)``.
+
+    ``tension (..., K)`` with ``cfg.tendons`` set adds the actuation term
+    ``+ sum_k T_k dl_k/dqe`` (the gradient of the cable potential
+    ``V = T l`` — the weak-form rows ARE the energy gradient of the
+    elastic term, so the variational tendon force composes exactly;
+    cross-gated on the piecewise closed form kappa = -T delta / EI on
+    covered segments, 0 beyond the anchor)."""
     qe_segs = jnp.asarray(qe_segs)
     dtype = qe_segs.dtype
     tip_force = jnp.asarray(tip_force, dtype)
@@ -207,7 +269,16 @@ def segmented_equilibrium_residual(qe_segs, tip_force, tip_moment,
         res.append(_segment_residual_from_state(
             qe_segs[..., s, :], qs[s], rs[s], r_tip, q_tip,
             tip_force, tip_moment, seg, s, cfg))
-    return jnp.stack(res, axis=-2)
+    out = jnp.stack(res, axis=-2)
+    if tension is not None and cfg.tendons:
+        t_vec = jnp.asarray(tension, dtype)
+
+        def cable_potential(qe_):
+            lens = segmented_tendon_lengths(qe_, cfg, iters, method)
+            return jnp.sum(t_vec * lens)
+
+        out = out + jax.grad(cable_potential)(qe_segs)
+    return out
 
 
 def segmented_equilibrium_residual_dd(qe_segs, tip_force, tip_moment,
@@ -602,10 +673,12 @@ def solve_segmented_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
                             cfg: SegmentedStaticsConfig = SegmentedStaticsConfig(),
                             qe0=None, tol: float = 1e-9, max_iter: int = 30,
                             damping: float = 1.0, iters: int = 24,
-                            method: str = "picard",
+                            method: str = "picard", tension=None,
                             ) -> SegmentedStaticsSolution:
     """Newton on :func:`segmented_equilibrium_residual` (exact AD Jacobian
-    through the chained solves), jit/vmap-compatible."""
+    through the chained solves), jit/vmap-compatible.  ``tension (..., K)``
+    actuates ``cfg.tendons`` (mid-rod terminations included — see
+    :class:`SegmentedStaticsConfig`)."""
     rods = cfg.rods
     s_count = rods.num_segments
     nq = rods.segments[0].na * rods.segments[0].ne
@@ -625,7 +698,7 @@ def solve_segmented_statics(tip_force, tip_moment=(0.0, 0.0, 0.0),
     def residual_flat(qe_flat):
         qe = qe_flat.reshape(qe_flat.shape[:-1] + (s_count, nq))
         r = segmented_equilibrium_residual(qe, tip_force, tip_moment, cfg,
-                                           iters, method)
+                                           iters, method, tension=tension)
         return r.reshape(r.shape[:-2] + (flat,))
 
     def cond(state):

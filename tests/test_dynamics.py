@@ -863,3 +863,77 @@ def test_kv_damping_dissipates_monotonically():
     e = np.asarray(traj.energies)
     assert e[-1] < 0.7 * e[0]
     assert np.all(np.diff(e) <= 1e-10 * abs(e[0]))
+
+
+def test_damped_spectrum_poles_match_modal_damping_ratios():
+    """Companion-form poles: Re(lambda_k) = -(c + kv omega_k^2)/2 and the
+    undamped limit reduces to +-i sqrt(omega2) of linearized_spectrum."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg0 = dynamics.DynamicsConfig(statics=scfg, rho_i=1e-3)
+    omega = np.sqrt(np.sort(dynamics.linearized_spectrum(cfg0)))
+    poles0 = dynamics.damped_spectrum(cfg0)
+    np.testing.assert_allclose(np.max(np.abs(poles0.real)), 0.0,
+                               atol=1e-8 * omega[-1])
+    np.testing.assert_allclose(np.sort(np.abs(poles0.imag))[::2], omega,
+                               rtol=1e-9)
+    kv, c_m = 0.015, 0.3
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_i=1e-3,
+                                  damping=c_m, kv_damping=kv)
+    poles = dynamics.damped_spectrum(cfg)
+    # At rest M, C = c M + kv K and K share the undamped modal basis, so
+    # the exact pole set is the per-mode quadratic roots
+    # lambda^2 + (c + kv omega^2) lambda + omega^2 = 0 — any regime.
+    exp_poles = np.concatenate(
+        [np.roots([1.0, c_m + kv * w ** 2, w ** 2]) for w in omega])
+    np.testing.assert_allclose(np.sort_complex(poles),
+                               np.sort_complex(exp_poles),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_beck_column_flutter_load():
+    """FOLLOWER tip loads in the dynamics balance: the compressed
+    cantilever under a tangential follower force never diverges statically
+    but flutters at Beck's classical load P_f = 20.05 EI/L^2 — the
+    nonsymmetric spectrum's omega^2 pair coalesces and turns complex
+    inside (19.5, 21)."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=14, ne=5),
+                                  follower=True)
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-4)
+
+    def spectrum(p):
+        return dynamics.linearized_spectrum(
+            cfg, tip_force=(-p, 0.0, 0.0), symmetric=False)
+
+    om2_lo = spectrum(19.5)
+    om2_hi = spectrum(21.0)
+    # below: all real (the straight state is stable — and in particular
+    # NOT divergent: min Re stays positive far beyond the dead-load
+    # Euler critical pi^2/4, the signature property of Beck's column)
+    assert np.max(np.abs(om2_lo.imag)) < 1e-6 * np.max(np.abs(om2_lo.real))
+    assert np.min(om2_lo.real) > 0.0
+    # above: a complex (flutter) pair exists and no real part crossed zero
+    assert np.max(np.abs(om2_hi.imag)) > 10.0
+    assert np.min(om2_hi.real) > 0.0
+
+
+def test_beck_internal_damping_destabilization_paradox():
+    """Ziegler's destabilization paradox via damped_spectrum: vanishing
+    Kelvin-Voigt damping drops the Beck-column critical load from the
+    undamped 20.05 to the classical internal-damping limit ~10.94 EI/L^2
+    — a pole crosses into Re > 0 inside (10.5, 11.0) while the undamped
+    system is still far from flutter."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=14, ne=5),
+                                  follower=True)
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-4,
+                                  kv_damping=1e-3)
+    poles_lo = dynamics.damped_spectrum(cfg, tip_force=(-10.5, 0.0, 0.0))
+    poles_hi = dynamics.damped_spectrum(cfg, tip_force=(-11.0, 0.0, 0.0))
+    assert np.max(poles_lo.real) < 0.0          # still dissipative
+    assert np.max(poles_hi.real) > 0.0          # damped flutter onset
+    # the paradox: the undamped analysis calls BOTH loads safely stable
+    # (flutter only at ~20.05 — see test_beck_column_flutter_load)
+    cfg0 = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-4)
+    om2 = dynamics.linearized_spectrum(cfg0, tip_force=(-11.0, 0.0, 0.0),
+                                       symmetric=False)
+    assert np.max(np.abs(om2.imag)) < 1e-6 * np.max(np.abs(om2.real))
+    assert np.min(om2.real) > 0.0

@@ -234,3 +234,50 @@ def test_segmented_batched_dd_newton_oracle_grade():
             jnp.asarray(qe_full[i]), jnp.asarray(loads[i], jnp.float64),
             jnp.zeros(3, jnp.float64), cfg, iters=40, method="dense")
         assert float(jnp.linalg.norm(r)) < 1e-10
+
+
+def test_terminated_tendon_piecewise_exact():
+    """MID-ROD TENDON TERMINATION (the documented single-rod limitation,
+    solved the spectral way): a cable at constant body-z offset delta
+    anchored at the FIRST junction of a 2-segment chain gives the exact
+    piecewise equilibrium kappa_y = -T delta / EI on the covered segment
+    and an identically straight segment beyond the anchor."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        segment_statics as ss,
+        tendon,
+    )
+
+    delta, tension = 0.05, 2.0
+    cfg = ss.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(2, n=14, ne=4),
+        tendons=(tendon.Tendon(offset=(0.0, 0.0, delta)),),
+        tendon_end=(0,))
+    sol = ss.solve_segmented_statics(jnp.zeros(3), cfg=cfg,
+                                     tension=jnp.asarray([tension]))
+    assert bool(sol.converged)
+    qe = np.asarray(sol.qe)                       # (2, na*ne), ne = 4
+    expected = np.zeros_like(qe)
+    expected[0, 4] = -tension * delta             # kappa_y const mode
+    np.testing.assert_allclose(qe, expected, atol=1e-12)
+
+
+def test_full_coverage_tendon_matches_single_rod_closed_form():
+    """A tendon covering EVERY segment of a uniform chain reproduces the
+    single-rod closed form kappa_y = -T delta / EI on all segments (the
+    default tendon_end=None = global tip anchor)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        segment_statics as ss,
+        tendon,
+    )
+
+    delta, tension = 0.04, 1.5
+    cfg = ss.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(3, n=12, ne=3),
+        tendons=(tendon.Tendon(offset=(0.0, 0.0, delta)),))
+    sol = ss.solve_segmented_statics(jnp.zeros(3), cfg=cfg,
+                                     tension=jnp.asarray([tension]))
+    assert bool(sol.converged)
+    qe = np.asarray(sol.qe)                       # (3, 9), ne = 3
+    expected = np.zeros_like(qe)
+    expected[:, 3] = -tension * delta
+    np.testing.assert_allclose(qe, expected, atol=1e-11)
