@@ -52,6 +52,7 @@ __all__ = [
     "scene_accelerations",
     "simulate_scene",
     "DynamicsConfig",
+    "SegmentedDynamicsConfig",
     "Trajectory",
     "stiffness_matrix",
     "mass_matrix",
@@ -67,6 +68,7 @@ __all__ = [
     "natural_frequencies",
     "linearized_spectrum",
     "damped_spectrum",
+    "critical_load",
 ]
 
 
@@ -488,6 +490,32 @@ class DynamicsConfig:
             return np.zeros(nq)
         return np.asarray(self.statics.kappa0, np.float64)
 
+    # -- kinematic-map hooks (overridden by SegmentedDynamicsConfig so the
+    #    whole Lagrangian assembly, the integrators, the contact statics
+    #    and the spectrum tools run unchanged on chained rods) --
+
+    @property
+    def nq(self) -> int:
+        """Flat generalized-coordinate count."""
+        return self.rod.na * self.rod.ne
+
+    @functools.cached_property
+    def quad_weights_full(self) -> np.ndarray:
+        """Clenshaw-Curtis weights aligned with ``state_full``'s grid."""
+        return np.asarray(self.statics.quad_weights, np.float64)
+
+    def state_full(self, qe, iters: int):
+        """Full-grid world state ``(r (..., n, 3), q (..., n, 4))`` with
+        the GLOBAL TIP at point 0 (descending grid, base appended) — the
+        kinematic map whose IFT tangents carry the inertia."""
+        return _state_full(qe, self, iters)
+
+    def tendon_lengths_from_state(self, r, q):
+        """Routed lengths ``(..., K)`` of ``self.tendons`` from the
+        ``state_full`` grid state."""
+        return tendon_mod.lengths_from_state(
+            r, q, self.tendons, self.rod, self.statics.quad_weights)
+
 
 def stiffness_matrix(scfg: cosserat.StaticsConfig) -> np.ndarray:
     """Generalized stiffness ``K_ee = int Phi^T H Phi dX`` (pdf eq. 2.14).
@@ -517,6 +545,114 @@ def stiffness_matrix(scfg: cosserat.StaticsConfig) -> np.ndarray:
     return out
 
 
+@dataclass(frozen=True)
+class SegmentedDynamicsConfig(DynamicsConfig):
+    """Dynamics of a CHAINED multi-segment rod — ``statics`` holds a
+    :class:`~.segment_statics.SegmentedStaticsConfig`.
+
+    The whole single-rod dynamics stack is generic over the kinematic-map
+    hooks (``state_full`` / ``nq`` / ``quad_weights_full`` / ``k_ee`` /
+    ``tendon_lengths_from_state``), so overriding them with the chained
+    spectral solves of models/segments.py gives multi-segment rods the
+    full surface for free: Lagrangian RK4 + implicit Newmark integration,
+    driven protocols, gravity, obstacle contact, tendon actuation
+    (mid-rod terminations via ``statics.tendon_end`` included),
+    variational contact statics, and the spectrum/stability tools.
+    Flat coordinates ``qe (..., S*na*ne)`` with BASE-first segment blocks
+    (the ``segment_statics`` layout, flattened); the concatenated
+    ``state_full`` grid runs TIP-first (global tip = point 0, matching
+    the single-rod descending convention the load assembly indexes).
+
+    Unsupported here: multi-rod scenes (``rr``/``simulate_scene`` are
+    single-rod-config paths) and per-grid-point stiffness profiles
+    (per-SEGMENT stiffness covers the piecewise case).
+    """
+
+    def __post_init__(self):
+        # Tendons live on the segmented statics config (they carry the
+        # termination map); mirror them into the dynamics field the load
+        # assembly reads.
+        if getattr(self.statics, "tendons", ()) and not self.tendons:
+            object.__setattr__(self, "tendons",
+                               tuple(self.statics.tendons))
+
+    @property
+    def rod(self) -> rod.RodConfig:
+        raise AttributeError(
+            "SegmentedDynamicsConfig has no single rod grid — use "
+            "cfg.statics.rods.segments (scenes/rr paths are single-rod)")
+
+    @property
+    def nq(self) -> int:
+        rods = self.statics.rods
+        seg = rods.segments[0]
+        return rods.num_segments * seg.na * seg.ne
+
+    @functools.cached_property
+    def k_ee(self) -> np.ndarray:
+        """Block-diagonal generalized stiffness: per-segment
+        ``kron(diag(H_s), Gram_s)`` in base-first block order (pdf eq.
+        2.14 per segment)."""
+        h_all = self.statics.stiffness_per_segment          # (S, na)
+        blocks = []
+        for s, seg in enumerate(self.statics.rods.segments):
+            table = np.asarray(self.statics.full_tables[s], np.float64)
+            w = np.asarray(self.statics.quad_weights[s], np.float64)
+            gram = table.T @ (w[:, None] * table)
+            blocks.append(np.kron(np.diag(h_all[s]), gram))
+        out = np.zeros((self.nq, self.nq))
+        i = 0
+        for b in blocks:
+            out[i:i + b.shape[0], i:i + b.shape[0]] = b
+            i += b.shape[0]
+        return out
+
+    @functools.cached_property
+    def kappa0_modes(self) -> np.ndarray:
+        if self.statics.kappa0 is None:
+            return np.zeros(self.nq)
+        return np.asarray(self.statics.kappa0, np.float64).reshape(-1)
+
+    @functools.cached_property
+    def quad_weights_full(self) -> np.ndarray:
+        """Per-segment CC weights, TIP-first to align with the
+        concatenated ``state_full`` grid (junction points appear in both
+        neighbours' grids, each inside its OWN segment's integral — no
+        double counting)."""
+        return np.concatenate(
+            [np.asarray(w, np.float64)
+             for w in reversed(self.statics.quad_weights)])
+
+    def state_full(self, qe, iters: int):
+        from . import segment_statics as ss
+
+        rods = self.statics.rods
+        s_count = rods.num_segments
+        nq_seg = rods.segments[0].na * rods.segments[0].ne
+        qe_segs = qe.reshape(qe.shape[:-1] + (s_count, nq_seg))
+        qs, rs, _ = ss._chained_full_states(qe_segs, self.statics, iters,
+                                            "picard")
+        return (jnp.concatenate(rs[::-1], axis=-2),
+                jnp.concatenate(qs[::-1], axis=-2))
+
+    def tendon_lengths_from_state(self, r, q):
+        segs = self.statics.rods.segments
+        offs = np.cumsum([0] + [s.n for s in reversed(segs)])
+        last = self.statics.tendon_last_segment
+        n_seg = len(segs)
+        lens = []
+        for k, t in enumerate(self.statics.tendons):
+            total = 0.0
+            for s in range(last[k] + 1):
+                blk = n_seg - 1 - s          # tip-first concat position
+                i0, i1 = int(offs[blk]), int(offs[blk + 1])
+                total = total + tendon_mod.lengths_from_state(
+                    r[..., i0:i1, :], q[..., i0:i1, :], (t,), segs[s],
+                    self.statics.quad_weights[s])[..., 0]
+            lens.append(total)
+        return jnp.stack(lens, axis=-1)
+
+
 def _state_full(qe, cfg: DynamicsConfig, iters: int):
     """Full-grid positions AND quaternions (base appended) through the
     differentiable Picard path — the kinematic map whose Jacobian carries
@@ -533,7 +669,7 @@ def _state_full(qe, cfg: DynamicsConfig, iters: int):
 
 
 def _positions_full(qe, cfg: DynamicsConfig, iters: int):
-    return _state_full(qe, cfg, iters)[0]
+    return cfg.state_full(qe, iters)[0]
 
 
 def _omega_from_dq(q, dq):
@@ -561,18 +697,18 @@ def mass_matrix(qe, cfg: DynamicsConfig, iters: int = 16):
     """
     nq = qe.shape[-1]
     eye = jnp.eye(nq, dtype=qe.dtype)
-    r, q = _state_full(qe, cfg, iters)
+    r, q = cfg.state_full(qe, iters)
 
     def jvp_dir(v):
         (_, _), (dr, dqq) = jax.jvp(
-            lambda qq: _state_full(qq, cfg, iters), (qe,),
+            lambda qq: cfg.state_full(qq, iters), (qe,),
             (jnp.broadcast_to(v, qe.shape),), )
         return dr, _omega_from_dq(q, dqq)
 
     dr_cols, om_cols = jax.vmap(jvp_dir)(eye)       # (nq, ..., n, 3) each
     dr_cols = jnp.moveaxis(dr_cols, 0, -1)          # (..., n, 3, nq)
     om_cols = jnp.moveaxis(om_cols, 0, -1)
-    w = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
+    w = jnp.asarray(cfg.quad_weights_full, qe.dtype)
     return (cfg.rho_a * jnp.einsum("j,...jci,...jck->...ik", w, dr_cols,
                                    dr_cols, precision="highest")
             + cfg.rho_i * jnp.einsum("j,...jci,...jck->...ik", w, om_cols,
@@ -588,13 +724,12 @@ def potential_energy(qe, cfg: DynamicsConfig, tension=None):
                          precision="highest")
     actuated = tension is not None and cfg.tendons
     if actuated:
-        r, q = _state_full(qe, cfg, 16)
-        lens = tendon_mod.lengths_from_state(
-            r, q, cfg.tendons, cfg.rod, cfg.statics.quad_weights)
+        r, q = cfg.state_full(qe, 16)
+        lens = cfg.tendon_lengths_from_state(r, q)
         v = v + jnp.sum(jnp.asarray(tension, qe.dtype) * lens, axis=-1)
     if cfg.gravity is not None or cfg.contacts:
         r = r if actuated else _positions_full(qe, cfg, 16)
-        w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
+        w_q = jnp.asarray(cfg.quad_weights_full, qe.dtype)
         if cfg.gravity is not None:
             g = jnp.asarray(cfg.gravity, qe.dtype)
             v = v - cfg.rho_a * jnp.einsum("j,...jc,c->...", w_q, r, g,
@@ -671,8 +806,8 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
     if (tip_force is not None or tip_moment is not None
             or cfg.contacts or g_eff is not None or actuated):
         (r_full, q_full), pull = jax.vjp(
-            lambda q: _state_full(q, cfg, iters), qe)
-        w_q = jnp.asarray(cfg.statics.quad_weights, qe.dtype)
+            lambda q: cfg.state_full(q, iters), qe)
+        w_q = jnp.asarray(cfg.quad_weights_full, qe.dtype)
         r_cot = jnp.zeros_like(r_full)
         q_cot = jnp.zeros_like(q_full)
         if tip_force is not None:
@@ -709,10 +844,8 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
             # Tendon actuation: -T_k grad l_k as a cotangent on the full
             # state (the routed-length map depends on BOTH r and q).
             t_vec = jnp.asarray(tension, qe.dtype)
-            lens, pull_l = jax.vjp(
-                lambda r_, q_: tendon_mod.lengths_from_state(
-                    r_, q_, cfg.tendons, cfg.rod,
-                    cfg.statics.quad_weights), r_full, q_full)
+            lens, pull_l = jax.vjp(cfg.tendon_lengths_from_state,
+                                   r_full, q_full)
             dr_l, dq_l = pull_l(jnp.broadcast_to(-t_vec, lens.shape))
             r_cot = r_cot + dr_l
             q_cot = q_cot + dq_l
@@ -723,7 +856,7 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
                 # and friction need them); XLA CSEs its primal with the
                 # vjp's.
                 _, rdot = jax.jvp(
-                    lambda q: _state_full(q, cfg, iters)[0], (qe,), (qd,))
+                    lambda q: cfg.state_full(q, iters)[0], (qe,), (qd,))
         for ct in cfg.contacts:
             # Everything below reads off ONE vjp of the gap field: the
             # conservative penalty is -k s s' ∇g, the dashpot rides the
@@ -1123,7 +1256,7 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
     coupled ``(R nq, R nq)`` one (internally flattened; still batched
     over the leading axes, still per-sample line-searched).
     """
-    nq = cfg.rod.na * cfg.rod.ne
+    nq = cfg.nq
     if qe0 is None:
         if rr is not None:
             raise ValueError("scene statics needs an explicit qe0 "
@@ -1220,7 +1353,7 @@ def parametric_stability_map(cfg: DynamicsConfig, omegas, amplitudes,
     def drive(t):
         return (ag * jnp.cos(og * t))[:, None] * d          # (B, 3)
 
-    nq = cfg.rod.na * cfg.rod.ne
+    nq = cfg.nq
     qe0 = jnp.zeros((b, nq)).at[:, seed_index].set(seed)
     steps = int(round(t_end / dt))
     traj = simulate_implicit(qe0, jnp.zeros_like(qe0), cfg, dt=dt,
@@ -1240,7 +1373,7 @@ def natural_frequencies(cfg: DynamicsConfig, qe0=None, iters: int = 24):
     spectrum ``omega_k = (beta_k L)^2 sqrt(EI / (rhoA L^4))``,
     ``beta_1 L = 1.875104``.
     """
-    nq = cfg.rod.na * cfg.rod.ne
+    nq = cfg.nq
     if qe0 is None:
         qe0 = jnp.asarray(cfg.kappa0_modes, jnp.float64
                           if jax.config.jax_enable_x64 else jnp.float32)
@@ -1287,7 +1420,7 @@ def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
     Gated on Beck's column: flutter at the classical 20.05 EI/L^2 with
     no static divergence (tests/test_dynamics.py).
     """
-    nq = cfg.rod.na * cfg.rod.ne
+    nq = cfg.nq
     scene_shape = None
     if qe is None:
         if rr is not None:
@@ -1323,7 +1456,8 @@ def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
 
 
 def damped_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
-                    tip_moment=None, iters: int = 24, tension=None):
+                    tip_moment=None, rr: RodRodContact | None = None,
+                    base_positions=None, iters: int = 24, tension=None):
     """Complex small-oscillation POLES about an equilibrium, damping in.
 
     First-order (companion) eigenproblem of the linearized balance
@@ -1343,22 +1477,111 @@ def damped_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
     flags a flutter/divergence instability INCLUDING damping effects —
     the classical case where damping destabilizes a circulatory
     (follower-load) system that the undamped analysis calls marginally
-    stable.  Host f64, one ``jacfwd`` of the balance.
+    stable (the Ziegler paradox, gated on Beck's column).  Scenes as in
+    :func:`linearized_spectrum` (``rr`` + rod-axis ``qe``; block-diagonal
+    ``M`` and ``K_ee``, coupled ``K_eff``).  Host f64, one ``jacfwd`` of
+    the balance.
     """
-    nq = cfg.rod.na * cfg.rod.ne
+    nq = cfg.nq
+    scene_shape = None
     if qe is None:
+        if rr is not None:
+            raise ValueError("scene spectra need an explicit qe (R, nq)")
         qe = jnp.asarray(cfg.kappa0_modes, jnp.float64
                          if jax.config.jax_enable_x64 else jnp.float32)
     qe = jnp.asarray(qe)
-    m = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
-    residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters,
-                                    tension=tension)
-    k_eff = -np.asarray(jax.jacfwd(residual)(qe), np.float64)
-    c = cfg.damping * m + cfg.kv_damping * np.asarray(cfg.k_ee, np.float64)
+    k_ee = np.asarray(cfg.k_ee, np.float64)
+    if rr is not None:
+        scene_shape = qe.shape[-2:]
+        qe_flat = qe.reshape((scene_shape[0] * scene_shape[1],))
+        m_rods = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
+        m = np.zeros((qe_flat.shape[0],) * 2)
+        for i in range(scene_shape[0]):               # block-diagonal mass
+            m[i * nq:(i + 1) * nq, i * nq:(i + 1) * nq] = m_rods[i]
+        k_ee = np.kron(np.eye(scene_shape[0]), k_ee)
+    else:
+        qe_flat = qe
+        m = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
+    residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters, rr,
+                                    base_positions, scene_shape, tension)
+    k_eff = -np.asarray(jax.jacfwd(residual)(qe_flat), np.float64)
+    c = cfg.damping * m + cfg.kv_damping * k_ee
     minv = np.linalg.inv(m)
+    n_flat = m.shape[0]
     comp = np.block([
-        [np.zeros((nq, nq)), np.eye(nq)],
+        [np.zeros((n_flat, n_flat)), np.eye(n_flat)],
         [-minv @ k_eff, -minv @ c],
     ])
     poles = np.linalg.eigvals(comp)
     return poles[np.argsort(np.abs(poles.imag))]
+
+
+def critical_load(cfg: DynamicsConfig, direction=(-1.0, 0.0, 0.0),
+                  load_hi: float = 30.0, load_lo: float = 0.0,
+                  bisect_tol: float = 1e-2, iters: int = 24,
+                  solve_equilibrium: bool = False, tip_moment=None,
+                  tension=None, re_tol: float = 1e-8, statics_tol=1e-9,
+                  return_qe: bool = False):
+    """Smallest load factor where the equilibrium path loses stability —
+    bisection on ``max Re`` of :func:`damped_spectrum` poles.
+
+    The pole criterion is UNIFORM over instability mechanisms: static
+    divergence (a real pole through zero — Euler buckling, gated at
+    pi^2/4 for the dead compressive cantilever), undamped flutter (a
+    complex ``omega^2`` pair splits the poles off the imaginary axis —
+    Beck's 20.05 for the follower load, gated), and damped flutter
+    (Ziegler destabilization — the kv-damped Beck column at ~10.94,
+    gated).  ``tip_force = lambda * direction`` (body frame when
+    ``cfg.statics.follower``); ``stability`` at each trial ``lambda`` is
+    ``max Re(poles) <= re_tol * pole_scale``.  The default ``re_tol``
+    1e-8 sits between the eigensolver noise floor of the marginally
+    stable undamped poles (~1e-13 relative; sqrt(eps)-grade only inside
+    the vanishing near-coalescence window) and the slow Re growth of
+    WEAKLY damped flutter onsets (a 1e-6 threshold biased the kv=1e-3
+    Ziegler onset from ~10.9 to 12.6 — measured).
+
+    ``solve_equilibrium=False`` (default) linearizes about the UNLOADED
+    rest shape ``cfg.kappa0_modes`` — exact whenever that shape stays an
+    equilibrium along the load path (axial dead/follower loads on a
+    straight rod: the classical column problems).  Set ``True`` to track
+    the nonlinear equilibrium with :func:`solve_contact_statics` (warm
+    started up the path) for loads that deform before destabilizing.
+    Host bisection (analysis tool, ~log2((hi-lo)/tol) spectrum evals);
+    raises if the bracket does not straddle the boundary.
+    """
+    d = jnp.asarray(direction, jnp.float64
+                    if jax.config.jax_enable_x64 else jnp.float32)
+    qe_warm = jnp.asarray(cfg.kappa0_modes, d.dtype)
+
+    def unstable(lam, qe_start):
+        qe_eq = qe_start
+        if solve_equilibrium:
+            sol = solve_contact_statics(cfg, qe0=qe_start,
+                                        tip_force=lam * d,
+                                        tip_moment=tip_moment,
+                                        tol=statics_tol, iters=iters,
+                                        tension=tension)
+            qe_eq = sol.qe
+        poles = damped_spectrum(cfg, qe=qe_eq, tip_force=lam * d,
+                                tip_moment=tip_moment, iters=iters,
+                                tension=tension)
+        scale = max(float(np.max(np.abs(poles))), 1.0)
+        return bool(np.max(poles.real) > re_tol * scale), qe_eq
+
+    u_lo, qe_lo = unstable(load_lo, qe_warm)
+    if u_lo:
+        raise ValueError(f"load_lo={load_lo} is already unstable")
+    u_hi, _ = unstable(load_hi, qe_lo)
+    if not u_hi:
+        raise ValueError(f"load_hi={load_hi} is still stable — widen the "
+                         "bracket")
+    lo, hi, qe_warm = float(load_lo), float(load_hi), qe_lo
+    while hi - lo > bisect_tol:
+        mid = 0.5 * (lo + hi)
+        u_mid, qe_mid = unstable(mid, qe_warm)
+        if u_mid:
+            hi = mid
+        else:
+            lo, qe_warm = mid, qe_mid
+    lam_c = 0.5 * (lo + hi)
+    return (lam_c, qe_warm) if return_qe else lam_c

@@ -144,13 +144,12 @@ def lengths_from_state(r, q, tendons: tuple, rc: rod_mod.RodConfig,
 
 def tendon_lengths(qe, cfg, iters: int = 16):
     """Routed lengths ``(..., K)`` at strain modes ``qe`` (differentiable
-    through the spectral solve via the Picard IFT tangents)."""
-    from . import dynamics as dyn
-
+    through the spectral solve via the Picard IFT tangents).  Generic over
+    the dynamics-config kinematic hooks — segmented configs (mid-rod
+    terminations) included."""
     qe = jnp.asarray(qe)
-    r, q = dyn._state_full(qe, cfg, iters)
-    return lengths_from_state(r, q, cfg.tendons, cfg.rod,
-                              cfg.statics.quad_weights)
+    r, q = cfg.state_full(qe, iters)
+    return cfg.tendon_lengths_from_state(r, q)
 
 
 def tendon_generalized_force(qe, tension, cfg, iters: int = 16):
@@ -171,10 +170,8 @@ def tendon_generalized_force(qe, tension, cfg, iters: int = 16):
 
 
 def _tip_of(qe, cfg, iters):
-    from . import dynamics as dyn
-
-    r, _ = dyn._state_full(qe, cfg, iters)
-    return r[..., 0, :]                                   # tip = point 0
+    r, _ = cfg.state_full(qe, iters)
+    return r[..., 0, :]                          # global tip = point 0
 
 
 def tip_sensitivity(qe, tension, cfg, tip_force=None, tip_moment=None,
@@ -254,7 +251,7 @@ def tendon_ik(target_tip, cfg, tension0=None, gn_steps: int = 12,
     if tension0 is None:
         tension0 = jnp.zeros(target.shape[:-1] + (k_t,), dtype)
     tension = jnp.asarray(tension0, dtype)
-    nq = cfg.rod.na * cfg.rod.ne
+    nq = cfg.nq
     qe = jnp.zeros(tension.shape[:-1] + (nq,), dtype)
 
     eye = jnp.eye(k_t, dtype=dtype)

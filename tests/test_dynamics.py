@@ -937,3 +937,31 @@ def test_beck_internal_damping_destabilization_paradox():
                                        symmetric=False)
     assert np.max(np.abs(om2.imag)) < 1e-6 * np.max(np.abs(om2.real))
     assert np.min(om2.real) > 0.0
+
+
+def test_critical_load_classical_boundaries():
+    """One uniform criterion (max Re of the damped poles) recovers all
+    three classical stability boundaries of the compressed cantilever:
+    Euler divergence at pi^2/4 (dead load), Beck flutter at 20.05
+    (follower), and the Ziegler internal-damping limit ~10.94 (follower +
+    vanishing Kelvin-Voigt damping)."""
+    rc = rod.RodConfig(n=12, ne=4)
+    cfg_dead = dynamics.DynamicsConfig(
+        statics=cosserat.StaticsConfig(rod=rc), rho_a=1.0, rho_i=1e-4)
+    p_euler = dynamics.critical_load(cfg_dead, load_hi=5.0,
+                                     bisect_tol=0.02)
+    np.testing.assert_allclose(p_euler, np.pi ** 2 / 4.0, rtol=1e-2)
+
+    scfg_f = cosserat.StaticsConfig(rod=rc, follower=True)
+    cfg_beck = dynamics.DynamicsConfig(statics=scfg_f, rho_a=1.0,
+                                       rho_i=1e-4)
+    p_beck = dynamics.critical_load(cfg_beck, load_lo=15.0, load_hi=25.0,
+                                    bisect_tol=0.2)
+    np.testing.assert_allclose(p_beck, 20.05, rtol=0.03)
+
+    cfg_zig = dynamics.DynamicsConfig(statics=scfg_f, rho_a=1.0,
+                                      rho_i=1e-4, kv_damping=1e-3)
+    p_zig = dynamics.critical_load(cfg_zig, load_lo=5.0, load_hi=15.0,
+                                   bisect_tol=0.2)
+    assert 10.3 < p_zig < 11.6, p_zig
+    assert p_zig < 0.6 * p_beck            # the destabilization paradox
