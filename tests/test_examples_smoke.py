@@ -19,6 +19,7 @@ EXAMPLES = [
     "bifurcation_diagram.py",
     "contact_scene.py",
     "tendon_robot.py",
+    "flutter_analysis.py",
 ]
 
 
