@@ -68,6 +68,7 @@ __all__ = [
     "natural_frequencies",
     "linearized_spectrum",
     "damped_spectrum",
+    "frequency_response",
     "critical_load",
 ]
 
@@ -1514,6 +1515,70 @@ def damped_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
     ])
     poles = np.linalg.eigvals(comp)
     return poles[np.argsort(np.abs(poles.imag))]
+
+
+def frequency_response(cfg: DynamicsConfig, omegas, drive_force=None,
+                       drive_moment=None, qe=None, tip_force=None,
+                       tip_moment=None, iters: int = 24, tension=None,
+                       observe: str = "tip"):
+    """Linearized harmonic transfer function about an equilibrium.
+
+    Steady-state complex amplitude of ``M ddq + C dq + K_eff dq =
+    Re[f e^{i omega t}]``:
+
+        A(omega) = (K_eff + i omega C - omega^2 M)^{-1} f,
+
+    with ``M``/``C``/``K_eff`` exactly as :func:`damped_spectrum` (full
+    balance Jacobian about the ``tip_force``/``tip_moment``/``tension``
+    equilibrium — geometric, contact and tendon stiffness included) and
+    ``f`` the GENERALIZED force pattern of the unit harmonic drive: a
+    tip force ``drive_force`` and/or tip couple ``drive_moment``,
+    assembled through the same load pullback as the balance (loads are
+    affine, so the pattern is an exact residual difference at the
+    frozen equilibrium).  ``observe='modes'`` returns ``(W, nq)``
+    complex strain-mode amplitudes; ``'tip'`` chains the tip Jacobian
+    for ``(W, 3)`` complex tip-displacement amplitudes (magnitude =
+    response amplitude, argument = phase lag).  Host f64; gated on the
+    per-mode closed form at rest and on steady-state amplitudes of the
+    driven implicit integrator.
+    """
+    if drive_force is None and drive_moment is None:
+        raise ValueError("give drive_force and/or drive_moment")
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if qe is None:
+        qe = jnp.asarray(cfg.kappa0_modes, dtype)
+    qe = jnp.asarray(qe)
+    m = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
+    residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters,
+                                    tension=tension)
+    k_eff = -np.asarray(jax.jacfwd(residual)(qe), np.float64)
+    c = cfg.damping * m + cfg.kv_damping * np.asarray(cfg.k_ee, np.float64)
+
+    # Drive pattern: the affine load structure makes the difference of two
+    # balance evaluations at the SAME state the exact generalized force.
+    base_f = (jnp.zeros(3, dtype) if tip_force is None
+              else jnp.asarray(tip_force, dtype))
+    base_m = (jnp.zeros(3, dtype) if tip_moment is None
+              else jnp.asarray(tip_moment, dtype))
+    df = base_f + (0.0 if drive_force is None
+                   else jnp.asarray(drive_force, dtype))
+    dm = base_m + (0.0 if drive_moment is None
+                   else jnp.asarray(drive_moment, dtype))
+    res_drive = _balance_residual_fn(cfg, df, dm, iters, tension=tension)
+    f = np.asarray(res_drive(qe) - residual(qe), np.float64)
+
+    omegas = np.asarray(omegas, np.float64)
+    amps = np.stack([
+        np.linalg.solve(k_eff + 1j * w * c - w * w * m, f)
+        for w in np.atleast_1d(omegas)
+    ])                                                   # (W, nq) complex
+    if observe == "modes":
+        return amps
+    if observe != "tip":
+        raise ValueError(f"observe must be 'tip' or 'modes', got {observe}")
+    j_tip = np.asarray(jax.jacfwd(
+        lambda q_: cfg.state_full(q_, iters)[0][..., 0, :])(qe), np.float64)
+    return amps @ j_tip.T                                # (W, 3) complex
 
 
 def critical_load(cfg: DynamicsConfig, direction=(-1.0, 0.0, 0.0),

@@ -965,3 +965,38 @@ def test_critical_load_classical_boundaries():
                                    bisect_tol=0.2)
     assert 10.3 < p_zig < 11.6, p_zig
     assert p_zig < 0.6 * p_beck            # the destabilization paradox
+
+
+def test_frequency_response_closed_form_and_time_domain():
+    """FRF about the rest state: (a) equals the per-mode closed form
+    A = V diag(1/(w_k^2 - w^2 + i w (c + kv w_k^2))) V^T f exactly (M, C,
+    K share the modal basis at rest); (b) its resonant amplitude matches
+    the STEADY STATE of the driven implicit integrator (independent
+    time-domain physics check)."""
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=10, ne=3))
+    c_m, kv = 0.5, 0.01
+    cfg = dynamics.DynamicsConfig(statics=scfg, rho_a=1.0, rho_i=1e-3,
+                                  damping=c_m, kv_damping=kv)
+    om2, v = dynamics.linearized_spectrum(cfg, modes=True)
+    w1 = float(np.sqrt(om2[0]))
+    ws = np.asarray([0.5 * w1, w1, 2.0 * w1])
+    ez = (0.0, 0.0, 1e-3)
+
+    amps = dynamics.frequency_response(cfg, ws, drive_force=ez,
+                                       observe="modes")
+    res0 = dynamics._balance_residual_fn(cfg, None, None, 24)(jnp.zeros(9))
+    res1 = dynamics._balance_residual_fn(cfg, jnp.asarray(ez), None,
+                                         24)(jnp.zeros(9))
+    f = np.asarray(res1 - res0)
+    for i, w in enumerate(ws):
+        a_cf = v @ ((v.T @ f) / (om2 - w * w + 1j * w * (c_m + kv * om2)))
+        assert np.abs(amps[i] - a_cf).max() < 1e-12 * np.abs(a_cf).max()
+
+    drive = lambda t: jnp.asarray(ez) * jnp.cos(w1 * t)      # noqa: E731
+    dt = (2.0 * np.pi / w1) / 40.0
+    traj = jax.jit(lambda a, b: dynamics.simulate_implicit(
+        a, b, cfg, dt=dt, steps=700, iters=10, tip_force=drive,
+        tol=1e-11, record_energy=False))(jnp.zeros(9), jnp.zeros(9))
+    qes = np.asarray(traj.qes)
+    amp_td = 0.5 * (qes[-80:, 3].max() - qes[-80:, 3].min())
+    np.testing.assert_allclose(amp_td, np.abs(amps[1, 3]), rtol=2e-2)
