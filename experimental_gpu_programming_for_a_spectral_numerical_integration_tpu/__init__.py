@@ -32,7 +32,7 @@ from .models.rod import (
     demo_qe,
 )
 from .models import (ivp, cosserat, segments, calibration, dynamics,
-                     bifurcation, segment_statics, tendon)
+                     bifurcation, segment_statics, tendon, constrained)
 
 __version__ = "0.1.0"
 
@@ -65,4 +65,5 @@ __all__ = [
     "bifurcation",
     "segment_statics",
     "tendon",
+    "constrained",
 ]

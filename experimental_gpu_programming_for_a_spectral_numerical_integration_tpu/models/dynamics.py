@@ -63,6 +63,7 @@ __all__ = [
     "simulate",
     "simulate_implicit",
     "ContactStaticsSolution",
+    "damped_newton",
     "solve_contact_statics",
     "parametric_stability_map",
     "natural_frequencies",
@@ -644,12 +645,15 @@ class SegmentedDynamicsConfig(DynamicsConfig):
         lens = []
         for k, t in enumerate(self.statics.tendons):
             total = 0.0
-            for s in range(last[k] + 1):
+            theta = None                     # capstan turning, accumulated
+            for s in range(last[k] + 1):     # base segment -> anchor
                 blk = n_seg - 1 - s          # tip-first concat position
                 i0, i1 = int(offs[blk]), int(offs[blk + 1])
-                total = total + tendon_mod.lengths_from_state(
+                contrib, theta = tendon_mod.lengths_from_state(
                     r[..., i0:i1, :], q[..., i0:i1, :], (t,), segs[s],
-                    self.statics.quad_weights[s])[..., 0]
+                    self.statics.quad_weights[s], theta0=theta,
+                    return_theta=True)
+                total = total + contrib[..., 0]
             lens.append(total)
         return jnp.stack(lens, axis=-1)
 
@@ -1215,6 +1219,62 @@ class ContactStaticsSolution(NamedTuple):
     converged: jnp.ndarray      # (...,)
 
 
+def damped_newton(residual, z0, tol: float = 1e-8, max_iter: int = 40,
+                  line_search: bool = True):
+    """Batched damped Newton on ``residual(z) = 0`` — the solver core of
+    :func:`solve_contact_statics`, exposed for every statics-like system
+    (tip-constrained BVPs, platform-coupled parallel robots, ...).
+
+    ``z (..., m)``; per-sample Jacobians come from ``jax.linearize`` over
+    the ``m`` unit directions (shape-preserving — no extra batch axis
+    reshuffling), steps from the TPU-native Gauss-Jordan.  ``line_search``
+    is the per-sample backtracking Armijo of the contact-statics
+    docstring (candidate 0 = the current iterate, so one batched residual
+    evaluation prices all candidates).  Returns ``(z, iterations,
+    residual)``.
+    """
+    z0 = jnp.asarray(z0)
+    m = z0.shape[-1]
+
+    def cond(state):
+        z, k, res = state
+        rn = jnp.max(
+            jnp.linalg.norm(res, axis=-1)) if res.ndim > 1 \
+            else jnp.linalg.norm(res)
+        return jnp.logical_and(k < max_iter, rn > tol)
+
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625], z0.dtype)
+
+    def body(state):
+        z, k, res = state
+        _, f_lin = jax.linearize(residual, z)
+        cols = jax.vmap(
+            lambda e: f_lin(jnp.broadcast_to(e, z.shape))
+        )(jnp.eye(m, dtype=z.dtype))
+        jac = jnp.moveaxis(cols, 0, -1)              # (..., m, m)
+        step = smallsolve.gauss_jordan_solve(jac, res)
+        if not line_search:
+            z = z - step
+            return z, k + 1, residual(z)
+        a = jnp.concatenate([jnp.zeros((1,), z.dtype), alphas]
+                            ).reshape((6,) + (1,) * z.ndim)
+        cand = z[None] - a * step[None]              # (6, ..., m)
+        res_c = residual(cand)
+        norms = jnp.linalg.norm(res_c, axis=-1)      # (6, ...)
+        base = norms[0]
+        ok = norms[1:] < (1.0 - 1e-4 * alphas.reshape(
+            (5,) + (1,) * (z.ndim - 1))) * base
+        idx = 1 + jnp.where(jnp.any(ok, axis=0), jnp.argmax(ok, axis=0),
+                            jnp.argmin(norms[1:], axis=0))   # (...)
+        sel = idx.reshape((1,) + idx.shape + (1,))
+        z = jnp.take_along_axis(cand, sel, axis=0)[0]
+        res = jnp.take_along_axis(res_c, sel, axis=0)[0]
+        return z, k + 1, res
+
+    return jax.lax.while_loop(
+        cond, body, (z0, jnp.zeros((), jnp.int32), residual(z0)))
+
+
 def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
                           tip_moment=None, tol: float = 1e-8,
                           max_iter: int = 40, iters: int = 16,
@@ -1274,46 +1334,8 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
 
     residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters, rr,
                                     base_positions, scene_shape, tension)
-
-    def cond(state):
-        qe, k, res = state
-        rn = jnp.max(
-            jnp.linalg.norm(res, axis=-1)) if res.ndim > 1 \
-            else jnp.linalg.norm(res)
-        return jnp.logical_and(k < max_iter, rn > tol)
-
-    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625], qe0.dtype)
-
-    def body(state):
-        qe, k, res = state
-        _, f_lin = jax.linearize(residual, qe)
-        cols = jax.vmap(
-            lambda e: f_lin(jnp.broadcast_to(e, qe.shape))
-        )(jnp.eye(nq, dtype=qe.dtype))
-        jac = jnp.moveaxis(cols, 0, -1)              # (..., nq, nq)
-        step = smallsolve.gauss_jordan_solve(jac, res)
-        if not line_search:
-            qe = qe - step
-            return qe, k + 1, residual(qe)
-        # Per-sample backtracking: candidate 0 = current iterate, so the
-        # descent comparison uses residuals from one batched evaluation.
-        a = jnp.concatenate([jnp.zeros((1,), qe.dtype), alphas]
-                            ).reshape((6,) + (1,) * qe.ndim)
-        cand = qe[None] - a * step[None]              # (6, ..., nq)
-        res_c = residual(cand)
-        norms = jnp.linalg.norm(res_c, axis=-1)       # (6, ...)
-        base = norms[0]
-        ok = norms[1:] < (1.0 - 1e-4 * alphas.reshape(
-            (5,) + (1,) * (qe.ndim - 1))) * base
-        idx = 1 + jnp.where(jnp.any(ok, axis=0), jnp.argmax(ok, axis=0),
-                            jnp.argmin(norms[1:], axis=0))   # (...)
-        sel = idx.reshape((1,) + idx.shape + (1,))
-        qe = jnp.take_along_axis(cand, sel, axis=0)[0]
-        res = jnp.take_along_axis(res_c, sel, axis=0)[0]
-        return qe, k + 1, res
-
-    qe, k, res = jax.lax.while_loop(
-        cond, body, (qe0, jnp.zeros((), jnp.int32), residual(qe0)))
+    qe, k, res = damped_newton(residual, qe0, tol=tol, max_iter=max_iter,
+                               line_search=line_search)
     rn = jnp.linalg.norm(res, axis=-1)
     if scene_shape is not None:
         qe = qe.reshape(qe.shape[:-1] + scene_shape)

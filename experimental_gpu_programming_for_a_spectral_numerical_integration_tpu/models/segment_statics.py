@@ -236,10 +236,13 @@ def segmented_tendon_lengths(qe_segs, cfg: SegmentedStaticsConfig,
     lens = []
     for k, t in enumerate(cfg.tendons):
         total = 0.0
-        for s in range(last[k] + 1):
+        theta = None                       # capstan turning, accumulated
+        for s in range(last[k] + 1):       # base segment -> anchor
             seg = cfg.rods.segments[s]
-            total = total + tendon_mod.lengths_from_state(
-                rs[s], qs[s], (t,), seg, cfg.quad_weights[s])[..., 0]
+            contrib, theta = tendon_mod.lengths_from_state(
+                rs[s], qs[s], (t,), seg, cfg.quad_weights[s],
+                theta0=theta, return_theta=True)
+            total = total + contrib[..., 0]
         lens.append(total)
     return jnp.stack(lens, axis=-1)
 

@@ -52,6 +52,8 @@ from . import rod as rod_mod
 __all__ = [
     "Tendon",
     "routing_offsets",
+    "routing_profiles",
+    "routing_capstan_mu",
     "lengths_from_state",
     "tendon_lengths",
     "tendon_generalized_force",
@@ -81,6 +83,35 @@ class Tendon:
     component is allowed (it models an off-section termination arm) but
     has no effect for constant routing on a Kirchhoff rod.
 
+    ``profile``: optional (module-level, hashable) callable mapping the
+    normalized arclength array ``X (n,)`` to a TENSION SCALE along the
+    cable — the prescribed-tension-profile model of routing friction
+    (known capstan decay ``exp(-mu theta(X))``, sheath losses, ...).  The
+    cable potential becomes ``V = T int profile(X) |p'| dX``, so the
+    runtime ``tension`` is the tension at the ``profile = 1`` station and
+    the actuation loads taper along the routing; all ``tendon_lengths``
+    -based quantities then report this profile-weighted length (the
+    potential per unit tension), not the geometric length.  ``None`` =
+    frictionless constant-tension routing (exact geometric length, the
+    default).
+
+    ``capstan``: Coulomb friction coefficient ``mu`` of the GEOMETRIC
+    capstan law — the tension scale is ``exp(-mu Theta(X))`` with
+    ``Theta(X)`` the cumulative TURNING ANGLE of the *current* cable path
+    between the actuated base (global ``X = 0``) and ``X``:
+    ``Theta(X) = int_0^X |t_hat'| dX'``, ``t_hat = p'/|p'|`` (Euler's
+    capstan equation applied along the routing, pull stroke — the cable
+    slides toward the base, so friction eats tension tip-ward; a negative
+    ``mu`` models the release stroke).  Unlike ``profile`` the decay is
+    computed ON DEVICE from the deformed state, so it tracks the
+    configuration; it multiplies ``profile`` when both are set.  The
+    turning field is weight-FROZEN (``stop_gradient``) in the length
+    integral: the virtual work of a tension field ``T(s)`` on the
+    structure is ``delta W = -int T t_hat . delta p' dX`` (integrate
+    ``d/ds(T t_hat) . delta p`` by parts), i.e. exactly the gradient of
+    the *frozen-profile* weighted length — differentiating through
+    ``Theta(qe)`` would add a spurious (non-physical) conservative term.
+
     Frozen/hashable so configs that carry tendons stay valid jit static
     arguments.
     """
@@ -88,6 +119,19 @@ class Tendon:
     offset: tuple = (0.0, 0.0, 0.0)
     helix: tuple | None = None
     fn: Callable | None = None
+    profile: Callable | None = None
+    capstan: float = 0.0
+
+    def profile_at(self, rc: rod_mod.RodConfig) -> np.ndarray:
+        """Host-side ``(n,)`` f64 tension scales at the full grid points."""
+        if self.profile is None:
+            return np.ones(rc.n)
+        xs = np.asarray(rc.points, np.float64) / rc.length
+        p = np.asarray(self.profile(xs), np.float64)
+        if p.shape != (rc.n,):
+            raise ValueError(
+                f"tension profile returned {p.shape}, need ({rc.n},)")
+        return p
 
     def offsets_at(self, rc: rod_mod.RodConfig) -> np.ndarray:
         """Host-side ``(n, 3)`` f64 offsets at the full CGL grid points."""
@@ -118,8 +162,25 @@ def routing_offsets(tendons: tuple, rc: rod_mod.RodConfig) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def routing_profiles(tendons: tuple, rc: rod_mod.RodConfig) -> np.ndarray:
+    """Stacked host tension-scale table ``(K, n)`` (ones when no tendon
+    carries a profile — the constant-tension default)."""
+    out = np.stack([t.profile_at(rc) for t in tendons], axis=0)
+    out.setflags(write=False)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def routing_capstan_mu(tendons: tuple) -> np.ndarray:
+    """Capstan friction coefficients ``(K,)`` of a tendon set."""
+    out = np.asarray([float(t.capstan) for t in tendons], np.float64)
+    out.setflags(write=False)
+    return out
+
+
 def lengths_from_state(r, q, tendons: tuple, rc: rod_mod.RodConfig,
-                       weights=None):
+                       weights=None, theta0=None, return_theta=False):
     """Routed tendon lengths ``(..., K)`` from the full-grid state.
 
     ``r (..., n, 3)`` / ``q (..., n, 4)`` are the full-grid positions and
@@ -127,6 +188,16 @@ def lengths_from_state(r, q, tendons: tuple, rc: rod_mod.RodConfig,
     of the tendon path uses the same full-grid differentiation matrix as
     the kinematics (`chebyshev_differentiation.h:59-108` semantics), so
     the length — and with it the actuation force — converges spectrally.
+
+    Tendons with ``capstan != 0`` get the geometric capstan weight
+    ``exp(-mu Theta)`` (class docstring): the turning rate ``|t_hat'|``
+    is differentiated and accumulated spectrally (differentiation +
+    antiderivative matrices of the same grid), then FROZEN
+    (``stop_gradient``) so the vjp of the returned length is the physical
+    distributed cable load.  ``theta0 (..., K)`` offsets the turning angle
+    (segmented chains accumulate across junctions); ``return_theta=True``
+    additionally returns the turning angle at the segment TIP (grid point
+    0) for that chaining.  Both are inert for capstan-free tendon sets.
     """
     dtype = r.dtype
     offs = jnp.asarray(routing_offsets(tuple(tendons), rc), dtype)  # (K,n,3)
@@ -134,12 +205,46 @@ def lengths_from_state(r, q, tendons: tuple, rc: rod_mod.RodConfig,
     if weights is None:
         weights = chebyshev.clenshaw_curtis_weights(rc.n, rc.length)
     w = jnp.asarray(weights, dtype)
+    # Per-tendon quadrature kernel: CC weights x tension profile (ones for
+    # frictionless routing — then this IS the geometric length).
+    wk = w * jnp.asarray(routing_profiles(tuple(tendons), rc), dtype)
     # p = r + R(q) d, broadcast over the tendon axis.
     p = r[..., None, :, :] + lie.quat_rotate_normalized(
         q[..., None, :, :], offs)                       # (..., K, n, 3)
     dp = jnp.einsum("ij,...jc->...ic", d_full, p, precision="highest")
     speed = jnp.sqrt(jnp.sum(dp * dp, axis=-1))          # (..., K, n)
-    return jnp.einsum("j,...j->...", w, speed)           # (..., K)
+    mu = routing_capstan_mu(tuple(tendons))
+    theta_tip = None
+    if np.any(mu != 0.0):
+        # Cumulative turning angle from the base: Theta = G |D t_hat|
+        # (G = spectral antiderivative with F(base) = 0, the same matrix
+        # the distributed-load statics uses).  The 1e-30 only guards the
+        # 0/0 of a perfectly straight path; the whole weight is frozen so
+        # no tangent ever crosses the sqrt.
+        t_hat = dp / speed[..., None]
+        dt = jnp.einsum("ij,...jc->...ic", d_full, t_hat,
+                        precision="highest")
+        turn = jnp.sqrt(jnp.sum(dt * dt, axis=-1) + 1e-30)  # (..., K, n)
+        # Full-grid forward antiderivative: int_0^{x_i} = int_{x_i}^{L}
+        # subtracted from the full integral (base row of the tail-integral
+        # operator) — (n, n), zero base column, Theta(base) = 0.
+        t_mat = np.asarray(chebyshev.partial_integral_matrix(rc.n, rc.length))
+        g_mat = jnp.asarray(t_mat[-1][None, :] - t_mat, dtype)
+        theta = jnp.einsum("ij,...j->...i", g_mat, turn)     # (..., K, n)
+        if theta0 is not None:
+            theta = theta + jnp.asarray(theta0, dtype)[..., None]
+        theta = jax.lax.stop_gradient(theta)
+        wk = wk * jnp.exp(-jnp.asarray(mu, dtype)[:, None] * theta)
+        theta_tip = theta[..., 0]
+    elif theta0 is not None or return_theta:
+        theta_tip = (jnp.zeros(p.shape[:-2], dtype) if theta0 is None
+                     else jnp.asarray(theta0, dtype))
+    # einsum ellipsis broadcasting handles both the (K, n) host kernel and
+    # the (..., K, n) capstan-weighted one.
+    lens = jnp.einsum("...kj,...kj->...k", wk, speed)    # (..., K)
+    if return_theta:
+        return lens, theta_tip
+    return lens
 
 
 def tendon_lengths(qe, cfg, iters: int = 16):

@@ -17,6 +17,7 @@ multi-segment batches.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -30,6 +31,7 @@ __all__ = [
     "sharded_riks_walk",
     "sharded_simulate",
     "sharded_actuated_statics",
+    "sharded_platform_statics",
 ]
 
 RODS_AXIS = "rods"
@@ -331,3 +333,41 @@ def sharded_simulate(mesh: Mesh, cfg=None, implicit: bool = False,
                                    energies=energies)
 
     return run
+
+
+def sharded_platform_statics(mesh: Mesh, robot, **kwargs):
+    """Multi-chip parallel-continuum-robot workspace maps: platform
+    wrenches ``(B, 6)`` (world force + moment) ->
+    :class:`~.constrained.PlatformSolution` — each chip Newton-solves its
+    local slab of the wrench family (:func:`~.constrained.solve_platform`
+    is batched over leading axes of the applied wrench); robots in a
+    family are independent, so no collectives."""
+    from ..models import constrained
+
+    def local(wrench):
+        sol = constrained.solve_platform(
+            robot, platform_force=wrench[..., :3],
+            platform_moment=wrench[..., 3:], **kwargs)
+        iters = jnp.full(wrench.shape[:1], sol.iterations)
+        return (sol.qe, sol.platform_position, sol.platform_quaternion,
+                sol.reaction_force, sol.reaction_moment,
+                sol.residual_norm, iters, sol.converged)
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(RODS_AXIS, None),
+        out_specs=(P(RODS_AXIS), P(RODS_AXIS), P(RODS_AXIS), P(RODS_AXIS),
+                   P(RODS_AXIS), P(RODS_AXIS), P(RODS_AXIS), P(RODS_AXIS)),
+        check_vma=False,
+    )
+    jitted = jax.jit(step, in_shardings=NamedSharding(mesh, P(RODS_AXIS,
+                                                              None)))
+
+    def solve(wrench):
+        (qe, pos, quat, rf, rm, rnorm, iters, conv) = jitted(wrench)
+        return constrained.PlatformSolution(
+            qe=qe, platform_position=pos, platform_quaternion=quat,
+            reaction_force=rf, reaction_moment=rm, residual_norm=rnorm,
+            iterations=iters, converged=conv)
+
+    return solve

@@ -20,6 +20,7 @@ EXAMPLES = [
     "contact_scene.py",
     "tendon_robot.py",
     "flutter_analysis.py",
+    "parallel_robot.py",
 ]
 
 

@@ -260,3 +260,42 @@ def test_sharded_segmented_simulate_matches_unsharded():
                                rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(traj.energies),
                                np.asarray(ref.energies), rtol=2e-4)
+
+
+def test_sharded_platform_statics_matches_unsharded():
+    """Multi-chip PCR workspace map: each chip Newton-solves its slab of
+    platform wrenches under shard_map; results equal the single-device
+    batched coupled solve."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        constrained,
+        cosserat,
+        dynamics,
+        rod,
+    )
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.parallel import (
+        mesh as pmesh,
+    )
+
+    s = float(np.sqrt(2) / 2)
+    cfg = dynamics.DynamicsConfig(statics=cosserat.StaticsConfig(
+        rod=rod.RodConfig(n=8, ne=2, na=6),
+        stiffness=(1.0, 1.0, 1.0, 50.0, 25.0, 25.0)))
+    bases = ((-0.2, 0.0, 0.0), (0.2, 0.0, 0.0))
+    robot = constrained.PlatformRobot(
+        cfg=cfg, base_positions=bases,
+        base_quaternions=((s, 0.0, -s, 0.0),) * 2, attach_points=bases)
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.default_rng(7)
+    wrench = jnp.asarray(rng.uniform(-0.02, 0.02, (16, 6)), jnp.float64)
+    solve = pmesh.sharded_platform_statics(mesh, robot, tol=1e-8,
+                                           max_iter=25, iters=10)
+    sol = solve(pmesh.shard_rods(mesh, wrench))
+    assert np.asarray(sol.converged).all()
+    assert len(sol.qe.sharding.device_set) == 8
+    ref = constrained.solve_platform(
+        robot, platform_force=wrench[:, :3], platform_moment=wrench[:, 3:],
+        tol=1e-8, max_iter=25, iters=10)
+    np.testing.assert_allclose(np.asarray(sol.qe), np.asarray(ref.qe),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol.platform_position),
+                               np.asarray(ref.platform_position), atol=1e-8)

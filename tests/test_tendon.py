@@ -238,3 +238,157 @@ def test_tendon_ik_batched_targets():
     ik = tendon.tendon_ik(targets, cfg, gn_steps=14)
     assert ik.tension.shape == (2, 3)
     assert float(jnp.max(ik.tip_error)) < 1e-6
+
+
+def _linear_taper(xs):
+    return 1.0 - 0.5 * xs
+
+
+def _capstan_decay(xs):
+    return np.exp(-0.3 * xs)
+
+
+def test_tension_profile_linear_taper_exact():
+    """Prescribed tension profiles (routing friction): with T(X) =
+    T0 (1 - X/2) along a constant-offset cable the pointwise balance is
+    EI kappa_y(X) + T(X) delta = 0 — linear in X, inside the ne >= 2
+    basis span, so the Galerkin equilibrium is pointwise exact."""
+    delta, t0 = 0.05, 2.0
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=12, ne=3))
+    cfg = dynamics.DynamicsConfig(
+        statics=scfg,
+        tendons=(tendon.Tendon(offset=(0.0, 0.0, delta),
+                               profile=_linear_taper),))
+    sol = dynamics.solve_contact_statics(
+        cfg, qe0=jnp.zeros(9, jnp.float64),
+        tension=jnp.asarray([t0], jnp.float64))
+    assert bool(sol.converged)
+    table = np.asarray(scfg.full_basis_table)          # (n, ne)
+    kappa = table @ np.asarray(sol.qe).reshape(3, -1).T   # (n, 3)
+    xs = np.asarray(scfg.rod.points) / scfg.rod.length
+    np.testing.assert_allclose(kappa[:, 1], -t0 * _linear_taper(xs) * delta,
+                               atol=1e-10)
+    np.testing.assert_allclose(kappa[:, [0, 2]], 0.0, atol=1e-10)
+
+
+def test_tension_profile_capstan_decay_pointwise():
+    """Capstan-style exponential decay T(X) = T0 exp(-mu X) (actuated at
+    the base X = 0, decaying toward the anchor): the equilibrium curvature
+    tracks the local tension pointwise to the basis projection error."""
+    delta, t0 = 0.05, 2.0
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=14, ne=6))
+    cfg = dynamics.DynamicsConfig(
+        statics=scfg,
+        tendons=(tendon.Tendon(offset=(0.0, 0.0, delta),
+                               profile=_capstan_decay),))
+    sol = dynamics.solve_contact_statics(
+        cfg, qe0=jnp.zeros(18, jnp.float64),
+        tension=jnp.asarray([t0], jnp.float64))
+    assert bool(sol.converged)
+    table = np.asarray(scfg.full_basis_table)
+    kappa = table @ np.asarray(sol.qe).reshape(3, -1).T
+    xs = np.asarray(scfg.rod.points) / scfg.rod.length
+    expect = -t0 * _capstan_decay(xs) * delta
+    np.testing.assert_allclose(kappa[:, 1], expect,
+                               atol=2e-5 * np.abs(expect).max())
+
+
+def test_capstan_straight_helix_matches_closed_form():
+    """Geometric capstan decay on a manufactured straight state: a helical
+    routing around a straight rod has constant turning rate c = a w^2 /
+    sqrt(1 + a^2 w^2) per unit X, so Theta(X) = c X and the weighted
+    length has the closed form |p'| (1 - exp(-mu c L)) / (mu c)."""
+    n, length, a, turns, mu = 24, 1.0, 0.03, 2.0, 0.8
+    rc = rod.RodConfig(n=n, length=length)
+    pts = np.asarray(rc.points)                      # descending, tip->base
+    r = jnp.asarray(np.stack([pts, np.zeros(n), np.zeros(n)], -1))
+    q = jnp.asarray(np.tile([1.0, 0.0, 0.0, 0.0], (n, 1)))
+    t = tendon.Tendon(helix=(a, turns, 0.0), capstan=mu)
+    lens = tendon.lengths_from_state(r, q, (t,), rc)
+    w = 2.0 * np.pi * turns / length
+    speed = np.sqrt(1.0 + (a * w) ** 2)
+    c = a * w ** 2 / speed
+    expect = speed * (1.0 - np.exp(-mu * c * length)) / (mu * c)
+    np.testing.assert_allclose(float(lens[0]), expect, rtol=1e-9)
+    # Cross-gate vs the PRESCRIBED-profile route with the closed-form
+    # turning (xs is normalized arclength, Theta = c L xs).
+    t_prof = tendon.Tendon(helix=(a, turns, 0.0),
+                           profile=_capstan_closed_form_profile)
+    lens_p = tendon.lengths_from_state(r, q, (t_prof,), rc)
+    np.testing.assert_allclose(float(lens[0]), float(lens_p[0]), rtol=1e-9)
+
+
+def _capstan_closed_form_profile(xs):
+    a, turns, mu, length = 0.03, 2.0, 0.8, 1.0
+    w = 2.0 * np.pi * turns / length
+    c = a * w ** 2 / np.sqrt(1.0 + (a * w) ** 2)
+    return np.exp(-mu * c * length * xs)
+
+
+def test_capstan_equilibrium_self_consistent():
+    """Equilibrium under geometric capstan friction: the converged state
+    satisfies EI Gram qe_y = -T0 delta P^T (w_cc * w(X)) with the capstan
+    weight w(X) = exp(-mu Theta(X)) RECOMPUTED from the solution by the
+    same spectral operators — the self-consistent fixed point the Newton
+    solve lands on (|p'| = 1 + kappa_y delta exactly for this routing)."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops import chebyshev, lie
+
+    delta, t0, mu, n, ne = 0.05, 4.0, 1.0, 16, 5
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=n, ne=ne))
+    cfg = dynamics.DynamicsConfig(
+        statics=scfg,
+        tendons=(tendon.Tendon(offset=(0.0, 0.0, delta), capstan=mu),))
+    sol = dynamics.solve_contact_statics(
+        cfg, qe0=jnp.zeros(3 * ne, jnp.float64),
+        tension=jnp.asarray([t0], jnp.float64), tol=1e-10)
+    assert bool(sol.converged)
+    # Recompute the capstan weight from the converged state (host f64).
+    r, q = cfg.state_full(sol.qe, 16)
+    offs = np.asarray([0.0, 0.0, delta])
+    p = np.asarray(r) + np.asarray(
+        lie.quat_rotate_normalized(q, jnp.asarray(offs)))
+    d_full = np.asarray(chebyshev.diff_matrix(n, 1.0))
+    dp = d_full @ p
+    speed = np.sqrt((dp * dp).sum(-1))
+    t_hat = dp / speed[:, None]
+    turn = np.sqrt(((d_full @ t_hat) ** 2).sum(-1) + 1e-30)
+    t_mat = np.asarray(chebyshev.partial_integral_matrix(n, 1.0))
+    theta = (t_mat[-1][None, :] - t_mat) @ turn
+    w_cap = np.exp(-mu * theta)
+    assert w_cap.min() < 0.9          # the decay actually bites
+    table = np.asarray(scfg.full_basis_table)          # (n, ne)
+    wcc = np.asarray(scfg.quad_weights)
+    gram = table.T @ (wcc[:, None] * table)
+    qe_y_expect = np.linalg.solve(gram, -t0 * delta * table.T @ (wcc * w_cap))
+    qe = np.asarray(sol.qe).reshape(3, ne)
+    np.testing.assert_allclose(qe[1], qe_y_expect, atol=1e-7)
+    np.testing.assert_allclose(qe[[0, 2]], 0.0, atol=1e-9)
+    # Tension decays tip-ward: |kappa| at the tip < at the base.
+    kappa_y = table @ qe[1]
+    assert abs(kappa_y[0]) < abs(kappa_y[-1]) * 0.95
+
+
+def test_capstan_turning_accumulates_across_segments():
+    """The capstan turning angle CHAINS across junctions: a straight
+    2-chain with one helix turn per segment equals the single-rod
+    two-turn helix closed form — and NOT the per-segment-restart value."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        segment_statics as ss,
+        segments,
+    )
+
+    a, mu, length = 0.03, 0.8, 1.0
+    cfg = ss.SegmentedStaticsConfig(
+        rods=segments.uniform_segments(2, n=16, ne=3,
+                                       total_length=length),
+        tendons=(tendon.Tendon(helix=(a, 1.0, 0.0), capstan=mu),))
+    lens = ss.segmented_tendon_lengths(
+        jnp.zeros((2, 9), jnp.float64), cfg)
+    w = 2.0 * np.pi * 2.0 / length                   # two global turns
+    speed = np.sqrt(1.0 + (a * w) ** 2)
+    c = a * w ** 2 / speed
+    accumulated = speed * (1.0 - np.exp(-mu * c * length)) / (mu * c)
+    restart = 2.0 * speed * (
+        1.0 - np.exp(-mu * c * length / 2.0)) / (mu * c)
+    np.testing.assert_allclose(float(lens[0]), accumulated, rtol=1e-9)
+    assert abs(float(lens[0]) - restart) > 1e-3      # discriminates
