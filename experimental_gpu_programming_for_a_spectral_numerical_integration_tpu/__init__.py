@@ -32,7 +32,8 @@ from .models.rod import (
     demo_qe,
 )
 from .models import (ivp, cosserat, segments, calibration, dynamics,
-                     bifurcation, segment_statics, tendon, constrained)
+                     bifurcation, segment_statics, tendon, constrained,
+                     magnetics)
 
 __version__ = "0.1.0"
 
@@ -66,4 +67,5 @@ __all__ = [
     "segment_statics",
     "tendon",
     "constrained",
+    "magnetics",
 ]

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from ..ops import lie, smallsolve
 from . import cosserat, rod
 from . import tendon as tendon_mod
+from . import magnetics as magnetics_mod
 
 __all__ = [
     "ContactPlane",
@@ -468,6 +469,12 @@ class DynamicsConfig:
     # gradients of the routed lengths, scaled by the runtime ``tension``
     # argument of accelerations/simulate*/solve_contact_statics.
     tendons: tuple = ()
+    # Magnetization distributions (models/magnetics.py): loads are the
+    # exact gradient of the magnetic potential -int (R m).B(r) dX, driven
+    # by the runtime ``b_field`` spec (uniform vector, (B0, G) gradient
+    # pair, or a callable of time in the integrators) — threaded through
+    # the same entry points as ``tension``.
+    magnets: tuple = ()
 
     @property
     def contacts(self) -> tuple:
@@ -505,6 +512,21 @@ class DynamicsConfig:
     def quad_weights_full(self) -> np.ndarray:
         """Clenshaw-Curtis weights aligned with ``state_full``'s grid."""
         return np.asarray(self.statics.quad_weights, np.float64)
+
+    @functools.cached_property
+    def points_full(self) -> np.ndarray:
+        """Global arclengths of ``state_full``'s grid (tip first — the
+        descending CGL convention)."""
+        return np.asarray(self.statics.rod.points, np.float64)
+
+    @functools.cached_property
+    def magnet_table(self) -> np.ndarray:
+        """Summed (n, 3) body-frame dipole-density table of
+        ``self.magnets`` on the full grid (magnetization superposes, so
+        one table serves the whole energy — models/magnetics.py)."""
+        xs = self.points_full
+        total = float(xs[0]) if xs[0] > 0 else 1.0
+        return magnetics_mod.magnetization_table(self.magnets, xs / total)
 
     def state_full(self, qe, iters: int):
         """Full-grid world state ``(r (..., n, 3), q (..., n, 4))`` with
@@ -625,6 +647,17 @@ class SegmentedDynamicsConfig(DynamicsConfig):
             [np.asarray(w, np.float64)
              for w in reversed(self.statics.quad_weights)])
 
+    @functools.cached_property
+    def points_full(self) -> np.ndarray:
+        """Global arclengths of the concatenated tip-first grid: each
+        segment's local descending points shifted by the total length of
+        the base-side segments before it."""
+        segs = self.statics.rods.segments
+        offsets = np.cumsum([0.0] + [s.length for s in segs])
+        return np.concatenate(
+            [offsets[i] + np.asarray(segs[i].points, np.float64)
+             for i in reversed(range(len(segs)))])
+
     def state_full(self, qe, iters: int):
         from . import segment_statics as ss
 
@@ -720,20 +753,29 @@ def mass_matrix(qe, cfg: DynamicsConfig, iters: int = 16):
                                      om_cols, precision="highest"))
 
 
-def potential_energy(qe, cfg: DynamicsConfig, tension=None):
-    """Elastic energy ``1/2 dqe^T K_ee dqe`` (+ gravity, contact-penalty
-    and — for constant ``tension`` — tendon potentials ``T_k l_k``)."""
+def potential_energy(qe, cfg: DynamicsConfig, tension=None, b_field=None):
+    """Elastic energy ``1/2 dqe^T K_ee dqe`` (+ gravity, contact-penalty,
+    — for constant ``tension`` — tendon potentials ``T_k l_k``, and — for
+    a constant ``b_field`` — the magnetic potential ``-int (R m).B dX``)."""
     dq = qe - jnp.asarray(cfg.kappa0_modes, qe.dtype)
     k = jnp.asarray(cfg.k_ee, qe.dtype)
     v = 0.5 * jnp.einsum("...i,ij,...j->...", dq, k, dq,
                          precision="highest")
     actuated = tension is not None and cfg.tendons
-    if actuated:
+    magnetized = b_field is not None and cfg.magnets
+    have_state = actuated or magnetized
+    if have_state:
         r, q = cfg.state_full(qe, 16)
+    if actuated:
         lens = cfg.tendon_lengths_from_state(r, q)
         v = v + jnp.sum(jnp.asarray(tension, qe.dtype) * lens, axis=-1)
+    if magnetized:
+        b0, g = magnetics_mod.parse_field(b_field, qe.dtype)
+        v = v + magnetics_mod.energy_from_state(
+            r, q, jnp.asarray(cfg.quad_weights_full, qe.dtype),
+            jnp.asarray(cfg.magnet_table, qe.dtype), b0, g)
     if cfg.gravity is not None or cfg.contacts:
-        r = r if actuated else _positions_full(qe, cfg, 16)
+        r = r if have_state else _positions_full(qe, cfg, 16)
         w_q = jnp.asarray(cfg.quad_weights_full, qe.dtype)
         if cfg.gravity is not None:
             g = jnp.asarray(cfg.gravity, qe.dtype)
@@ -753,14 +795,14 @@ def kinetic_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16):
 
 
 def total_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16,
-                 tension=None):
+                 tension=None, b_field=None):
     return kinetic_energy(qe, qd, cfg, iters) + potential_energy(
-        qe, cfg, tension)
+        qe, cfg, tension, b_field)
 
 
 def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
                   iters: int = 16, tip_moment=None, extra_accel=None,
-                  tension=None):
+                  tension=None, b_field=None):
     """``(M(qe), rhs)`` of the Euler-Lagrange balance ``M qdd = rhs``
     (damping excluded — see :func:`accelerations`).
 
@@ -808,8 +850,10 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
     # spectral solve per term (tip force, tip couple, gravity/base motion,
     # contact penalty + dashpot each used to pay their own).
     actuated = tension is not None and cfg.tendons
+    magnetized = b_field is not None and cfg.magnets
     if (tip_force is not None or tip_moment is not None
-            or cfg.contacts or g_eff is not None or actuated):
+            or cfg.contacts or g_eff is not None or actuated
+            or magnetized):
         (r_full, q_full), pull = jax.vjp(
             lambda q: cfg.state_full(q, iters), qe)
         w_q = jnp.asarray(cfg.quad_weights_full, qe.dtype)
@@ -854,6 +898,19 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
             dr_l, dq_l = pull_l(jnp.broadcast_to(-t_vec, lens.shape))
             r_cot = r_cot + dr_l
             q_cot = q_cot + dq_l
+        if magnetized:
+            # Magnetic actuation: -grad U of the dipole-field potential
+            # (distributed torque m x B AND the gradient pulling force in
+            # one vjp cotangent on the full state — models/magnetics.py).
+            b0, g_field = magnetics_mod.parse_field(b_field, qe.dtype)
+            m_table = jnp.asarray(cfg.magnet_table, qe.dtype)
+            u, pull_u = jax.vjp(
+                lambda rr_, qq_: magnetics_mod.energy_from_state(
+                    rr_, qq_, w_q, m_table, b0, g_field),
+                r_full, q_full)
+            dr_u, dq_u = pull_u(-jnp.ones_like(u))
+            r_cot = r_cot + dr_u
+            q_cot = q_cot + dq_u
         if cfg.contacts:
             rdot = None
             if any(ct.damping or ct.friction for ct in cfg.contacts):
@@ -897,14 +954,14 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
 
 def accelerations(qe, qd, cfg: DynamicsConfig, tip_force=None,
                   iters: int = 16, tip_moment=None, extra_accel=None,
-                  tension=None):
+                  tension=None, b_field=None):
     """``qdd`` from the Euler-Lagrange equations, batched over leading axes.
 
     ``M qdd = Q_ext - K_ee dqe - (dM/dt) qd + 1/2 grad(qd^T M qd)``,
     then mass-proportional damping ``qdd -= damping qd``.
     """
     m, rhs = _mass_and_rhs(qe, qd, cfg, tip_force, iters, tip_moment,
-                           extra_accel, tension)
+                           extra_accel, tension, b_field)
     qdd = smallsolve.gauss_jordan_solve(m, rhs)
     if cfg.damping:
         qdd = qdd - cfg.damping * qd
@@ -1027,7 +1084,7 @@ def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
              tip_force=None, iters: int = 16,
              record_energy: bool = True, tip_moment=None,
              base_accel=None, t0: float = 0.0,
-             tension=None) -> Trajectory:
+             tension=None, b_field=None) -> Trajectory:
     """RK4 time integration under ``lax.scan`` — jittable, batched.
 
     **Driven protocols** (VERDICT r2 next #7): ``tip_force``,
@@ -1051,7 +1108,8 @@ def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
             qe, qd, cfg, _load_at(tip_force, t, dtype), iters,
             tip_moment=_load_at(tip_moment, t, dtype),
             extra_accel=None if ea is None else -ea,
-            tension=_load_at(tension, t, dtype))
+            tension=_load_at(tension, t, dtype),
+            b_field=magnetics_mod.field_at(b_field, t))
 
     def rk4(state, _):
         qe, qd, t = state
@@ -1064,7 +1122,8 @@ def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
         qe = qe + dt / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
         qd = qd + dt / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
         e = (total_energy(qe, qd, cfg, iters,
-                          tension=_load_at(tension, t + dt, dtype))
+                          tension=_load_at(tension, t + dt, dtype),
+                          b_field=magnetics_mod.field_at(b_field, t + dt))
              if record_energy
              else jnp.zeros(qe.shape[:-1], qe.dtype))
         return (qe, qd, t + dt), (qe, qd, e)
@@ -1081,7 +1140,7 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
                       tol: float = 1e-9, max_newton: int = 20,
                       record_energy: bool = True, tip_moment=None,
                       base_accel=None, t0: float = 0.0,
-                      tension=None) -> Trajectory:
+                      tension=None, b_field=None) -> Trajectory:
     """Newmark-beta time integration (implicit; default = trapezoidal /
     average-acceleration, unconditionally stable for the linearized
     system).
@@ -1112,11 +1171,12 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
         return (_load_at(tip_force, t, dtype),
                 _load_at(tip_moment, t, dtype),
                 None if ea is None else -ea,
-                _load_at(tension, t, dtype))
+                _load_at(tension, t, dtype),
+                magnetics_mod.field_at(b_field, t))
 
-    tf0, tm0, ea0, tn0 = loads_at(jnp.asarray(t0, dtype))
+    tf0, tm0, ea0, tn0, bf0 = loads_at(jnp.asarray(t0, dtype))
     a0 = accelerations(qe0, qd0, cfg, tf0, iters, tip_moment=tm0,
-                       extra_accel=ea0, tension=tn0)
+                       extra_accel=ea0, tension=tn0, b_field=bf0)
     inv_bdt2 = 1.0 / (beta * dt * dt)
 
     def newmark_va(q1, q0, v0, acc0):
@@ -1126,8 +1186,8 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
 
     def step_residual(q1, q0, v0, acc0, t1):
         v1, a1 = newmark_va(q1, q0, v0, acc0)
-        tf, tm, ea, tn = loads_at(t1)
-        m, rhs = _mass_and_rhs(q1, v1, cfg, tf, iters, tm, ea, tn)
+        tf, tm, ea, tn, bf = loads_at(t1)
+        m, rhs = _mass_and_rhs(q1, v1, cfg, tf, iters, tm, ea, tn, bf)
         lhs = a1 + (cfg.damping * v1 if cfg.damping else 0.0)
         return jnp.einsum("...ij,...j->...i", m, lhs) - rhs
 
@@ -1172,7 +1232,8 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
                          residual(q_pred)))
         v1, a1 = newmark_va(q1, q0, v0, acc0)
         e = (total_energy(q1, v1, cfg, iters,
-                          tension=_load_at(tension, t1, dtype))
+                          tension=_load_at(tension, t1, dtype),
+                          b_field=magnetics_mod.field_at(b_field, t1))
              if record_energy
              else jnp.zeros(q1.shape[:-1], q1.dtype))
         return (q1, v1, a1, t1), (q1, v1, e)
@@ -1186,7 +1247,7 @@ def simulate_implicit(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
 
 def _balance_residual_fn(cfg: DynamicsConfig, tip_force, tip_moment,
                          iters: int, rr=None, base_positions=None,
-                         scene_shape=None, tension=None):
+                         scene_shape=None, tension=None, b_field=None):
     """The static generalized-force balance ``Q(qe)`` of
     :func:`_mass_and_rhs` at ``qd = 0`` — elastic restoring, gravity, tip
     wrench, obstacle penalties, and (``rr`` given) the rod–rod scene
@@ -1198,7 +1259,8 @@ def _balance_residual_fn(cfg: DynamicsConfig, tip_force, tip_moment,
         if scene_shape is not None:
             q = qe.reshape(qe.shape[:-1] + scene_shape)
             _, rhs = _mass_and_rhs(q, jnp.zeros_like(q), cfg, tip_force,
-                                   iters, tip_moment, tension=tension)
+                                   iters, tip_moment, tension=tension,
+                                   b_field=b_field)
             rhs = rhs - jax.grad(
                 lambda q2: jnp.sum(rr.pair_potential(
                     _scene_positions(q2, cfg, base_positions, iters),
@@ -1206,7 +1268,8 @@ def _balance_residual_fn(cfg: DynamicsConfig, tip_force, tip_moment,
                     s_grid=cfg.rod.points)))(q)
             return rhs.reshape(qe.shape)
         _, rhs = _mass_and_rhs(qe, jnp.zeros_like(qe), cfg, tip_force,
-                               iters, tip_moment, tension=tension)
+                               iters, tip_moment, tension=tension,
+                               b_field=b_field)
         return rhs
 
     return residual
@@ -1281,7 +1344,7 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
                           line_search: bool = True,
                           rr: RodRodContact | None = None,
                           base_positions=None,
-                          tension=None) -> ContactStaticsSolution:
+                          tension=None, b_field=None) -> ContactStaticsSolution:
     """Static equilibrium WITH the environment: Newton on the generalized
     force balance ``Q(qe) = 0`` of :func:`_mass_and_rhs` at ``qd = 0`` —
     elastic restoring, gravity, tip wrench, and every contact penalty
@@ -1333,7 +1396,8 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
         qe0 = qe0.reshape(qe0.shape[:-2] + (nq,))
 
     residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters, rr,
-                                    base_positions, scene_shape, tension)
+                                    base_positions, scene_shape, tension,
+                                    b_field)
     qe, k, res = damped_newton(residual, qe0, tol=tol, max_iter=max_iter,
                                line_search=line_search)
     rn = jnp.linalg.norm(res, axis=-1)
@@ -1413,7 +1477,7 @@ def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
                         tip_moment=None, rr: RodRodContact | None = None,
                         base_positions=None, iters: int = 24,
                         modes: bool = False, symmetric: bool = True,
-                        tension=None):
+                        tension=None, b_field=None):
     """Small-oscillation spectrum about an ARBITRARY equilibrium — loaded,
     gravity-sagged, contacting, or a multi-rod scene.
 
@@ -1462,7 +1526,8 @@ def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
         qe_flat = qe
         m = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
     residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters, rr,
-                                    base_positions, scene_shape, tension)
+                                    base_positions, scene_shape, tension,
+                                    b_field)
     k_eff = -np.asarray(jax.jacfwd(residual)(qe_flat), np.float64)
     c = np.linalg.cholesky(m)
     cinv = np.linalg.inv(c)
@@ -1480,7 +1545,8 @@ def linearized_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
 
 def damped_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
                     tip_moment=None, rr: RodRodContact | None = None,
-                    base_positions=None, iters: int = 24, tension=None):
+                    base_positions=None, iters: int = 24, tension=None,
+                    b_field=None):
     """Complex small-oscillation POLES about an equilibrium, damping in.
 
     First-order (companion) eigenproblem of the linearized balance
@@ -1526,7 +1592,8 @@ def damped_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
         qe_flat = qe
         m = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
     residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters, rr,
-                                    base_positions, scene_shape, tension)
+                                    base_positions, scene_shape, tension,
+                                    b_field)
     k_eff = -np.asarray(jax.jacfwd(residual)(qe_flat), np.float64)
     c = cfg.damping * m + cfg.kv_damping * k_ee
     minv = np.linalg.inv(m)
@@ -1542,7 +1609,7 @@ def damped_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
 def frequency_response(cfg: DynamicsConfig, omegas, drive_force=None,
                        drive_moment=None, qe=None, tip_force=None,
                        tip_moment=None, iters: int = 24, tension=None,
-                       observe: str = "tip"):
+                       b_field=None, observe: str = "tip"):
     """Linearized harmonic transfer function about an equilibrium.
 
     Steady-state complex amplitude of ``M ddq + C dq + K_eff dq =
@@ -1572,7 +1639,7 @@ def frequency_response(cfg: DynamicsConfig, omegas, drive_force=None,
     qe = jnp.asarray(qe)
     m = np.asarray(mass_matrix(qe, cfg, iters), np.float64)
     residual = _balance_residual_fn(cfg, tip_force, tip_moment, iters,
-                                    tension=tension)
+                                    tension=tension, b_field=b_field)
     k_eff = -np.asarray(jax.jacfwd(residual)(qe), np.float64)
     c = cfg.damping * m + cfg.kv_damping * np.asarray(cfg.k_ee, np.float64)
 
@@ -1586,7 +1653,8 @@ def frequency_response(cfg: DynamicsConfig, omegas, drive_force=None,
                    else jnp.asarray(drive_force, dtype))
     dm = base_m + (0.0 if drive_moment is None
                    else jnp.asarray(drive_moment, dtype))
-    res_drive = _balance_residual_fn(cfg, df, dm, iters, tension=tension)
+    res_drive = _balance_residual_fn(cfg, df, dm, iters, tension=tension,
+                                     b_field=b_field)
     f = np.asarray(res_drive(qe) - residual(qe), np.float64)
 
     omegas = np.asarray(omegas, np.float64)
@@ -1607,8 +1675,8 @@ def critical_load(cfg: DynamicsConfig, direction=(-1.0, 0.0, 0.0),
                   load_hi: float = 30.0, load_lo: float = 0.0,
                   bisect_tol: float = 1e-2, iters: int = 24,
                   solve_equilibrium: bool = False, tip_moment=None,
-                  tension=None, re_tol: float = 1e-8, statics_tol=1e-9,
-                  return_qe: bool = False):
+                  tension=None, b_field=None, re_tol: float = 1e-8,
+                  statics_tol=1e-9, return_qe: bool = False):
     """Smallest load factor where the equilibrium path loses stability —
     bisection on ``max Re`` of :func:`damped_spectrum` poles.
 
@@ -1647,11 +1715,11 @@ def critical_load(cfg: DynamicsConfig, direction=(-1.0, 0.0, 0.0),
                                         tip_force=lam * d,
                                         tip_moment=tip_moment,
                                         tol=statics_tol, iters=iters,
-                                        tension=tension)
+                                        tension=tension, b_field=b_field)
             qe_eq = sol.qe
         poles = damped_spectrum(cfg, qe=qe_eq, tip_force=lam * d,
                                 tip_moment=tip_moment, iters=iters,
-                                tension=tension)
+                                tension=tension, b_field=b_field)
         scale = max(float(np.max(np.abs(poles))), 1.0)
         return bool(np.max(poles.real) > re_tol * scale), qe_eq
 

@@ -189,6 +189,46 @@ def sharded_actuated_statics(mesh: Mesh, cfg, **kwargs):
     return solve
 
 
+def sharded_magnetic_statics(mesh: Mesh, cfg, **kwargs):
+    """Multi-chip magnetically actuated equilibria: uniform applied
+    fields ``b (B, 3)`` -> :class:`~.dynamics.ContactStaticsSolution` —
+    the field-workspace sweep of a magnetic continuum robot
+    (``cfg.magnets`` required; models/magnetics.py).  Each chip
+    Newton-solves its local slab of field commands; rods are independent,
+    so no collectives."""
+    import jax.numpy as jnp
+
+    from ..models import dynamics
+
+    if not cfg.magnets:
+        raise ValueError("sharded_magnetic_statics needs cfg.magnets")
+    nq = cfg.nq
+
+    def local(b):
+        qe0 = jnp.zeros(b.shape[:-1] + (nq,), b.dtype)
+        sol = dynamics.solve_contact_statics(cfg, qe0=qe0, b_field=b,
+                                             **kwargs)
+        iters = jnp.full(b.shape[:1], sol.iterations)
+        return sol.qe, iters, sol.residual_norm, sol.converged
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(RODS_AXIS, None),
+        out_specs=(P(RODS_AXIS, None), P(RODS_AXIS), P(RODS_AXIS),
+                   P(RODS_AXIS)),
+        check_vma=False,
+    )
+    jitted = jax.jit(step, in_shardings=NamedSharding(mesh, P(RODS_AXIS,
+                                                              None)))
+
+    def solve(b):
+        qe, iters, rnorm, conv = jitted(b)
+        return dynamics.ContactStaticsSolution(
+            qe=qe, residual_norm=rnorm, iterations=iters, converged=conv)
+
+    return solve
+
+
 def sharded_segmented_statics(mesh: Mesh, cfg=None, **kwargs):
     """Multi-chip batched MULTI-SEGMENT statics: ``loads (B, 3)`` ->
     :class:`~.segment_statics.SegmentedStaticsSolution` with ``qe``

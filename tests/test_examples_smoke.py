@@ -21,6 +21,7 @@ EXAMPLES = [
     "tendon_robot.py",
     "flutter_analysis.py",
     "parallel_robot.py",
+    "magnetic_catheter.py",
 ]
 
 

@@ -226,6 +226,38 @@ def test_sharded_actuated_statics_matches_unsharded():
                                atol=3e-5)
 
 
+def test_sharded_magnetic_statics_matches_unsharded():
+    """Multi-chip magnetic field-workspace sweep: each chip Newton-solves
+    its slab of applied-field commands under shard_map; results equal the
+    single-device batched magnetic solve."""
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+        cosserat,
+        dynamics,
+        magnetics,
+        rod,
+    )
+    from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.parallel import (
+        mesh as pmesh,
+    )
+
+    scfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=8))
+    cfg = dynamics.DynamicsConfig(
+        statics=scfg, magnets=(magnetics.Magnet(moment=(0.5, 0.0, 0.0)),))
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.default_rng(13)
+    fields = jnp.asarray(rng.uniform(-0.3, 0.3, (16, 3)), jnp.float32)
+    mag = pmesh.sharded_magnetic_statics(mesh, cfg=cfg, tol=1e-5,
+                                         max_iter=10, iters=10)
+    sol = mag(pmesh.shard_rods(mesh, fields))
+    assert np.asarray(sol.converged).all()
+    assert len(sol.qe.sharding.device_set) == 8
+    ref = dynamics.solve_contact_statics(
+        cfg, qe0=jnp.zeros((16, 9), jnp.float32), b_field=fields,
+        tol=1e-5, max_iter=10, iters=10)
+    np.testing.assert_allclose(np.asarray(sol.qe), np.asarray(ref.qe),
+                               atol=3e-5)
+
+
 def test_sharded_segmented_simulate_matches_unsharded():
     """Multi-chip MULTI-SEGMENT dynamics: the chained-kinematic-map RK4
     loop (dynamics.SegmentedDynamicsConfig) under shard_map equals the
