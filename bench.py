@@ -36,6 +36,24 @@ def _measure(fn, arg, reps: int | None = None):
     return (time.perf_counter() - t0) / reps
 
 
+_ERRORS: dict = {}
+
+
+def _try_rate(name, count, fn, arg, reps=None):
+    """Measure one EXTRA row, never letting it kill the headline metric
+    (round 3 lost the whole bench to one OOMing extra).  Returns
+    rate-per-sec or the error class string."""
+    import sys
+    import traceback
+
+    try:
+        return round(count / _measure(fn, arg, reps=reps), 1)
+    except Exception as e:  # noqa: BLE001 — any device/compile failure
+        _ERRORS[name] = f"{type(e).__name__}: {str(e)[:200]}"
+        traceback.print_exc(limit=3, file=sys.stderr)
+        return None
+
+
 def main():
     import jax
 
@@ -83,7 +101,7 @@ def main():
         return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
 
     dt_refined = _measure(jax.jit(refined_step), qes)
-    dt_picard = _measure(jax.jit(picard_step), qes)
+    rate_picard = _try_rate("picard", batch, jax.jit(picard_step), qes)
 
     from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.ops.pallas import (
         rod_kernel,
@@ -94,7 +112,7 @@ def main():
                                             interpret=interpret)
         return jnp.sum(qk) + jnp.sum(rk)
 
-    dt_fused = _measure(jax.jit(fused_step), qes)
+    rate_fused = _try_rate("fused", batch, jax.jit(fused_step), qes)
 
     # Small-strain lane: the adaptive iteration count's headroom (rho ~ 1.3
     # -> ~10 MXU passes instead of 18; ROADMAP r1 'adaptive Picard').
@@ -108,7 +126,8 @@ def main():
                                           tile=tile, interpret=interpret)
         return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
 
-    dt_small = _measure(jax.jit(refined_small_step), qes_small)
+    rate_small = _try_rate("refined_small", batch,
+                           jax.jit(refined_small_step), qes_small)
 
     # N=64 accuracy path through the WIDE single refined kernel (ROADMAP
     # r3: right-multiplied Ozaki planes; 5.5x the staged path on v5e).
@@ -122,7 +141,8 @@ def main():
                                           interpret=interpret)
         return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
 
-    dt_refined64 = _measure(jax.jit(refined64_step), qes64, reps=5)
+    rate_refined64 = _try_rate("refined_n64", qes64.shape[0],
+                               jax.jit(refined64_step), qes64, reps=5)
 
     # N=256 high-order config (BASELINE #5 grid) on the multi-tile wide
     # single refined kernel.
@@ -136,7 +156,8 @@ def main():
                                           interpret=interpret)
         return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
 
-    dt_refined256 = _measure(jax.jit(refined256_step), qes256, reps=3)
+    rate_refined256 = _try_rate("refined_n256", qes256.shape[0],
+                                jax.jit(refined256_step), qes256, reps=3)
 
     # Inline accuracy gate vs the f64 algorithm-exact oracle (demo strain),
     # on the SAME code path AND iteration counts as the headline timing.
@@ -169,7 +190,8 @@ def main():
             fl, cfg=statics_cfg, tol=1e-5, max_iter=12, iters=16,
             interpret=interpret).qe)
 
-    dt_statics = _measure(jax.jit(statics_step), loads, reps=5)
+    rate_statics = _try_rate("statics", loads.shape[0],
+                             jax.jit(statics_step), loads, reps=5)
 
     # BASELINE config #3's own grid (N=64) through the wide fused layout.
     statics64_cfg = cosserat.StaticsConfig(rod=rod.RodConfig(n=64))
@@ -180,7 +202,8 @@ def main():
             fl, cfg=statics64_cfg, tol=1e-5, max_iter=12, iters=16,
             interpret=interpret).qe)
 
-    dt_statics64 = _measure(jax.jit(statics64_step), loads64, reps=3)
+    rate_statics64 = _try_rate("statics_n64", loads64.shape[0],
+                               jax.jit(statics64_step), loads64, reps=3)
 
     # 6-DoF Reissner strains on the PAIRED single refined kernel (r3: the
     # dd Reissner tangent covers every layout tier; measured ~free vs na=3).
@@ -194,7 +217,8 @@ def main():
                                           interpret=interpret)
         return jnp.sum(sol.positions) + jnp.sum(sol.quaternions)
 
-    dt_reissner64 = _measure(jax.jit(reissner64_step), qes6, reps=5)
+    rate_reissner64 = _try_rate("reissner6dof_n64", qes6.shape[0],
+                                jax.jit(reissner64_step), qes6, reps=5)
 
     # Multi-segment statics on the fused tier (r3 kernel-lifted IFT:
     # 12-13x the jacfwd-through-the-chain tier on v5e).
@@ -214,7 +238,8 @@ def main():
             fl, cfg=seg_cfg, tol=1e-5, max_iter=10, iters=16, jac_iters=8,
             interpret=interpret).qe)
 
-    dt_seg = _measure(jax.jit(seg_statics_step), seg_loads, reps=3)
+    rate_seg = _try_rate("segmented_statics", seg_loads.shape[0],
+                         jax.jit(seg_statics_step), seg_loads, reps=3)
 
     # Rod dynamics throughput: batched RK4 Lagrangian steps (mass-matrix
     # IFT tangents + Gauss-Jordan per stage) — rod-steps/sec over a family
@@ -235,7 +260,8 @@ def main():
                                  record_energy=False)
         return jnp.sum(traj.qes[-1])
 
-    dt_dyn = _measure(jax.jit(dynamics_step), qe_dyn, reps=3)
+    rate_dyn = _try_rate("dynamics_rk4", b_dyn * dyn_steps,
+                         jax.jit(dynamics_step), qe_dyn, reps=3)
 
     # Tendon-actuated equilibria (the continuum-robot workspace sweep):
     # batched damped Newton on the Lagrangian balance with exact
@@ -249,7 +275,10 @@ def main():
         tendons=(tendon.Tendon(offset=(0.0, 0.0, 0.05)),
                  tendon.Tendon(offset=(0.0, 0.043, -0.025)),
                  tendon.Tendon(offset=(0.0, -0.043, -0.025))))
-    b_act = max(8, min(batch // 32, 4096)) if not interpret else 64
+    # jac_chunk=3 streams the Newton-Jacobian tangent passes (the
+    # all-directions vmap at B=4096 OOMed the 16 GB v5e in round 3 —
+    # ~20 live 1 GB tangent buffers); B=2048 + chunking fits with margin.
+    b_act = max(8, min(batch // 64, 2048)) if not interpret else 64
     tens = jnp.asarray(
         np.random.default_rng(2).uniform(0.0, 2.0, (b_act, 3)), jnp.float32)
     qe0_act = jnp.zeros((b_act, 9), jnp.float32)
@@ -257,9 +286,10 @@ def main():
     def actuated_step(t):
         return jnp.sum(dynamics.solve_contact_statics(
             act_cfg, qe0=qe0_act, tension=t, tol=2e-5, max_iter=12,
-            iters=12).qe)
+            iters=12, jac_chunk=3).qe)
 
-    dt_act = _measure(jax.jit(actuated_step), tens, reps=3)
+    rate_act = _try_rate("actuated_statics", b_act,
+                         jax.jit(actuated_step), tens, reps=3)
 
     # Native C++ CPU baseline (reference algorithm, OpenMP threads).
     cpu_baseline = None
@@ -287,29 +317,24 @@ def main():
         "extra": {
             "device": str(jax.devices()[0]),
             "batch": batch,
-            "picard_f32_solves_per_sec": round(batch / dt_picard, 1),
-            "pallas_fused_f32_solves_per_sec": round(batch / dt_fused, 1),
+            "picard_f32_solves_per_sec": rate_picard,
+            "pallas_fused_f32_solves_per_sec": rate_fused,
             "refined_ms_per_batch": round(dt_refined * 1e3, 3),
             "refined_auto_iters": auto_iters,
-            "refined_small_strain_solves_per_sec": round(batch / dt_small, 1),
+            "refined_small_strain_solves_per_sec": rate_small,
             "refined_small_strain_iters": small_iters,
-            "refined_n64_solves_per_sec": round(
-                qes64.shape[0] / dt_refined64, 1),
-            "refined_n256_solves_per_sec": round(
-                qes256.shape[0] / dt_refined256, 1),
-            "statics_bvp_solves_per_sec": round(loads.shape[0] / dt_statics, 1),
-            "statics_n64_bvp_solves_per_sec": round(
-                loads64.shape[0] / dt_statics64, 1),
-            "reissner6dof_n64_solves_per_sec": round(
-                qes6.shape[0] / dt_reissner64, 1),
-            "segmented_statics_bvp_solves_per_sec": round(
-                seg_loads.shape[0] / dt_seg, 1),
-            "dynamics_rk4_rod_steps_per_sec": round(
-                b_dyn * dyn_steps / dt_dyn, 1),
-            "actuated_statics_solves_per_sec": round(b_act / dt_act, 1),
+            "refined_n64_solves_per_sec": rate_refined64,
+            "refined_n256_solves_per_sec": rate_refined256,
+            "statics_bvp_solves_per_sec": rate_statics,
+            "statics_n64_bvp_solves_per_sec": rate_statics64,
+            "reissner6dof_n64_solves_per_sec": rate_reissner64,
+            "segmented_statics_bvp_solves_per_sec": rate_seg,
+            "dynamics_rk4_rod_steps_per_sec": rate_dyn,
+            "actuated_statics_solves_per_sec": rate_act,
             "rel_linf_error_vs_f64_reference": rel_err,
             "accuracy_gate_1e-8": rel_err <= 1e-8,
             "cpu_reference_baseline": cpu_baseline,
+            "row_errors": _ERRORS or None,
         },
     }))
 

@@ -1283,7 +1283,7 @@ class ContactStaticsSolution(NamedTuple):
 
 
 def damped_newton(residual, z0, tol: float = 1e-8, max_iter: int = 40,
-                  line_search: bool = True):
+                  line_search: bool = True, jac_chunk: int | None = None):
     """Batched damped Newton on ``residual(z) = 0`` — the solver core of
     :func:`solve_contact_statics`, exposed for every statics-like system
     (tip-constrained BVPs, platform-coupled parallel robots, ...).
@@ -1295,6 +1295,15 @@ def damped_newton(residual, z0, tol: float = 1e-8, max_iter: int = 40,
     docstring (candidate 0 = the current iterate, so one batched residual
     evaluation prices all candidates).  Returns ``(z, iterations,
     residual)``.
+
+    ``jac_chunk`` bounds the LIVE MEMORY of the Jacobian build: the
+    default vmaps all ``m`` tangent passes at once, which multiplies
+    every residual intermediate by ``m`` — at large batch this is the
+    dominant HBM cost (a B=4096 tendon-actuated balance OOMed a 16 GB
+    v5e through exactly this path).  With ``jac_chunk = c`` the unit
+    directions stream through ``lax.map(batch_size=c)``, capping the
+    tangent-intermediate footprint at ``c/m`` of the vmapped build for
+    the same results (columns are independent).
     """
     z0 = jnp.asarray(z0)
     m = z0.shape[-1]
@@ -1311,9 +1320,12 @@ def damped_newton(residual, z0, tol: float = 1e-8, max_iter: int = 40,
     def body(state):
         z, k, res = state
         _, f_lin = jax.linearize(residual, z)
-        cols = jax.vmap(
-            lambda e: f_lin(jnp.broadcast_to(e, z.shape))
-        )(jnp.eye(m, dtype=z.dtype))
+        one_col = lambda e: f_lin(jnp.broadcast_to(e, z.shape))
+        eyes = jnp.eye(m, dtype=z.dtype)
+        if jac_chunk is not None and jac_chunk < m:
+            cols = jax.lax.map(one_col, eyes, batch_size=jac_chunk)
+        else:
+            cols = jax.vmap(one_col)(eyes)
         jac = jnp.moveaxis(cols, 0, -1)              # (..., m, m)
         step = smallsolve.gauss_jordan_solve(jac, res)
         if not line_search:
@@ -1344,7 +1356,8 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
                           line_search: bool = True,
                           rr: RodRodContact | None = None,
                           base_positions=None,
-                          tension=None, b_field=None) -> ContactStaticsSolution:
+                          tension=None, b_field=None,
+                          jac_chunk: int | None = None) -> ContactStaticsSolution:
     """Static equilibrium WITH the environment: Newton on the generalized
     force balance ``Q(qe) = 0`` of :func:`_mass_and_rhs` at ``qd = 0`` —
     elastic restoring, gravity, tip wrench, and every contact penalty
@@ -1373,6 +1386,11 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
     the balance — actuated equilibria of a tendon-driven section, solvable
     jointly with gravity/contact.
 
+    ``jac_chunk`` streams the Newton Jacobian's tangent passes in chunks
+    of that many unit directions (see :func:`damped_newton`) — set it
+    (e.g. 3) for large batches where the default all-directions vmap
+    would multiply the residual's intermediates by ``nq`` in HBM.
+
     SCENES: pass ``rr`` (+ ``base_positions``) and a ``qe0`` with a rod
     axis ``(..., R, nq)`` to solve multi-rod equilibria with the rod–rod
     (and self-) penalty in the balance — e.g. one rod DRAPED over
@@ -1399,7 +1417,7 @@ def solve_contact_statics(cfg: DynamicsConfig, qe0=None, tip_force=None,
                                     base_positions, scene_shape, tension,
                                     b_field)
     qe, k, res = damped_newton(residual, qe0, tol=tol, max_iter=max_iter,
-                               line_search=line_search)
+                               line_search=line_search, jac_chunk=jac_chunk)
     rn = jnp.linalg.norm(res, axis=-1)
     if scene_shape is not None:
         qe = qe.reshape(qe.shape[:-1] + scene_shape)

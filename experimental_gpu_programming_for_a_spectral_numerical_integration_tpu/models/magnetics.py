@@ -30,10 +30,12 @@ quaternion-vector form (CLAUDE.md AD-path rule).
   zero net force on any magnet);
 * a 2-tuple ``(B0, G)`` with ``G`` a 3x3 matrix ``G[i, j] = dB_i/dr_j`` —
   uniform field PLUS uniform gradient (Maxwell coils; adds the pulling
-  force ``f = G m_world`` per unit length).  A physical magnetostatic
-  gradient is symmetric and traceless (curl-free, divergence-free field);
-  this is NOT enforced — the energy model is exact for whatever linear
-  field is supplied;
+  force ``f = grad (m_world . B) = G^T m_world`` per unit length — equal
+  to the textbook ``G m_world`` only when ``G`` is symmetric).  A
+  physical magnetostatic gradient IS symmetric and traceless (curl-free,
+  divergence-free field); this is NOT enforced — the energy model is
+  exact for whatever linear field is supplied, with the force given by
+  the transpose form above;
 * in ``simulate`` / ``simulate_implicit``: a callable ``t -> either`` of
   the above — time-varying steering protocols (rotating fields, ramps).
 
@@ -47,8 +49,12 @@ Closed-form anchors (gated in ``tests/test_magnetics.py``):
   state at ``B* = pi^2 EI / (4 m L^2)`` — the Euler-column Rayleigh
   quotient with ``m B`` in place of the compressive load (the
   ``linearized_spectrum`` omega^2-crosses-zero criterion, gated);
-* uniform-gradient field on a stiff axial magnet reduces to the constant
-  distributed force ``G m e1`` of the weak-form statics tier.
+* gradient-only field with a single ``dB_z/dx`` entry on an axial magnet
+  loads the rod purely through the couple density ``m_world x B(r)``
+  (the force ``G^T m_world`` vanishes for that non-symmetric ``G``),
+  giving the linear-theory profile
+  ``kappa_y(X) = -m g3 (L^2 - X^2) / (2 EI)`` and a tip deflection 5/3
+  of the equivalent-magnitude body force — both gated.
 """
 
 from __future__ import annotations
