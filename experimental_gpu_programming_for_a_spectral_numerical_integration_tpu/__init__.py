@@ -33,7 +33,7 @@ from .models.rod import (
 )
 from .models import (ivp, cosserat, segments, calibration, dynamics,
                      bifurcation, segment_statics, tendon, constrained,
-                     magnetics)
+                     magnetics, sensing)
 
 __version__ = "0.1.0"
 
@@ -68,4 +68,5 @@ __all__ = [
     "tendon",
     "constrained",
     "magnetics",
+    "sensing",
 ]

@@ -44,6 +44,7 @@ __all__ = [
     "integration_matrix",
     "partial_integral_matrix",
     "clenshaw_curtis_weights",
+    "interpolation_matrix",
 ]
 
 
@@ -145,6 +146,42 @@ def partial_integral_matrix(n: int, length: float = 1.0) -> np.ndarray:
     t[: n - 1, : n - 1] = g[0][None, :] - g
     t[n - 1, : n - 1] = g[0]
     return _frozen(t)
+
+
+@functools.lru_cache(maxsize=None)
+def interpolation_matrix(n: int, xs: tuple, length: float = 1.0) -> np.ndarray:
+    """``P (k, n)``: values on the CGL grid -> values at arclengths ``xs``.
+
+    Barycentric Lagrange interpolation from the descending CGL nodes
+    (spectrally accurate for smooth fields, exact for polynomials of degree
+    ``<= n-1``).  The CGL barycentric weights are ``w_j = 1/c_j`` with the
+    Trefethen coefficients of :func:`coefficients_c` — the same ``c``
+    weights the reference builds for the differentiation matrix
+    (`chebyshev_differentiation.h:37-52`), reused here for evaluation
+    *between* nodes, which the reference (grid-values-only, `main.cpp:198`)
+    never needed.  Targets that coincide with a node get the exact unit
+    row.  ``xs`` is a tuple of absolute arclengths in ``[0, length]``
+    (hashable, so the matrix is a cached trace-time host f64 constant like
+    every other operator here).  Used by the shape-sensing measurement
+    model (``models/sensing.py``) to evaluate marker positions off-grid.
+    """
+    x = cgl_points(n, length)
+    w = 1.0 / coefficients_c(n)
+    ts = np.asarray(xs, np.float64)
+    if ts.ndim != 1:
+        raise ValueError(f"xs must be a flat tuple of arclengths, got {xs!r}")
+    if np.any(ts < -1e-12) or np.any(ts > length * (1 + 1e-12)):
+        raise ValueError(f"interpolation targets {xs!r} outside [0, {length}]")
+    p = np.zeros((ts.size, n))
+    for i, t in enumerate(ts):
+        diff = t - x
+        hit = np.abs(diff) < 1e-14 * max(length, 1.0)
+        if np.any(hit):
+            p[i, np.argmax(hit)] = 1.0
+        else:
+            r = w / diff
+            p[i] = r / r.sum()
+    return _frozen(p)
 
 
 @functools.lru_cache(maxsize=None)
