@@ -33,7 +33,7 @@ from .models.rod import (
 )
 from .models import (ivp, cosserat, segments, calibration, dynamics,
                      bifurcation, segment_statics, tendon, constrained,
-                     magnetics, sensing)
+                     magnetics, sensing, ctr)
 
 __version__ = "0.1.0"
 
@@ -69,4 +69,5 @@ __all__ = [
     "constrained",
     "magnetics",
     "sensing",
+    "ctr",
 ]
