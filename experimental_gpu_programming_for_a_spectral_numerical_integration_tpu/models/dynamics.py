@@ -475,6 +475,15 @@ class DynamicsConfig:
     # pair, or a callable of time in the integrators) — threaded through
     # the same entry points as ``tension``.
     magnets: tuple = ()
+    # Resistive-force-theory fluid drag ``(c_t, c_n)``: anisotropic
+    # low-Reynolds drag per unit length, ``f = -c_t (v.t) t - c_n v_perp``
+    # with ``t`` the unit material tangent (slender-body theory gives
+    # c_n ~ 2 c_t; catheters-in-fluid / swimming-filament loading).
+    # Dissipative by construction: power = -int c_t (v.t)^2 + c_n |v_perp|^2.
+    # Linear in velocity, so the exact generalized force is
+    # ``-fluid_damping_matrix(qe) qd`` (cross-gated), and the spectrum
+    # tools fold it into C.
+    fluid_drag: tuple | None = None
 
     @property
     def contacts(self) -> tuple:
@@ -753,6 +762,38 @@ def mass_matrix(qe, cfg: DynamicsConfig, iters: int = 16):
                                      om_cols, precision="highest"))
 
 
+def fluid_damping_matrix(qe, cfg: DynamicsConfig, iters: int = 16):
+    """``C_f(qe) = int J_r^T [c_n I + (c_t - c_n) t t^T] J_r dX`` —
+    ``(..., nq, nq)``, the EXACT generalized damping of the
+    resistive-force fluid drag (the drag force is linear in velocity, so
+    ``Q_drag(qe, qd) = -C_f(qe) qd`` identically — cross-gated in
+    tests/test_dynamics.py).  Symmetric positive semidefinite (it is a
+    weighted Gram matrix of the translational mode shapes), so the drag
+    is unconditionally dissipative.  Used by :func:`damped_spectrum` /
+    :func:`frequency_response` when ``cfg.fluid_drag`` is set."""
+    if cfg.fluid_drag is None:
+        raise ValueError("config has no fluid_drag coefficients")
+    c_tan, c_nrm = cfg.fluid_drag
+    nq = qe.shape[-1]
+    eye = jnp.eye(nq, dtype=qe.dtype)
+    r, q = cfg.state_full(qe, iters)
+
+    def jvp_dir(v):
+        _, (dr, _) = jax.jvp(
+            lambda qq: cfg.state_full(qq, iters), (qe,),
+            (jnp.broadcast_to(v, qe.shape),))
+        return dr
+
+    dr_cols = jnp.moveaxis(jax.vmap(jvp_dir)(eye), 0, -1)  # (..., n, 3, nq)
+    e1 = jnp.asarray([1.0, 0.0, 0.0], qe.dtype)
+    t_hat = lie.quat_rotate_normalized(q, jnp.broadcast_to(e1, r.shape))
+    proj = (c_nrm * jnp.eye(3, dtype=qe.dtype)
+            + (c_tan - c_nrm) * t_hat[..., :, None] * t_hat[..., None, :])
+    w = jnp.asarray(cfg.quad_weights_full, qe.dtype)
+    return jnp.einsum("j,...jci,...jcd,...jdk->...ik", w, dr_cols, proj,
+                      dr_cols, precision="highest")
+
+
 def potential_energy(qe, cfg: DynamicsConfig, tension=None, b_field=None):
     """Elastic energy ``1/2 dqe^T K_ee dqe`` (+ gravity, contact-penalty,
     — for constant ``tension`` — tendon potentials ``T_k l_k``, and — for
@@ -851,14 +892,32 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
     # contact penalty + dashpot each used to pay their own).
     actuated = tension is not None and cfg.tendons
     magnetized = b_field is not None and cfg.magnets
+    dragged = cfg.fluid_drag is not None
     if (tip_force is not None or tip_moment is not None
             or cfg.contacts or g_eff is not None or actuated
-            or magnetized):
+            or magnetized or dragged):
         (r_full, q_full), pull = jax.vjp(
             lambda q: cfg.state_full(q, iters), qe)
         w_q = jnp.asarray(cfg.quad_weights_full, qe.dtype)
         r_cot = jnp.zeros_like(r_full)
         q_cot = jnp.zeros_like(q_full)
+        rdot = None
+        if dragged or any(ct.damping or ct.friction for ct in cfg.contacts):
+            # One linearized solve for the grid velocities, shared by the
+            # fluid drag and the contact dashpots/friction; XLA CSEs its
+            # primal with the vjp's.
+            _, rdot = jax.jvp(
+                lambda q: cfg.state_full(q, iters)[0], (qe,), (qd,))
+        if dragged:
+            # Resistive-force drag: -c_t (v.t) t - c_n (v - (v.t) t) per
+            # unit length, t = R(q) e1 (normalized — physics model).
+            c_tan, c_nrm = cfg.fluid_drag
+            e1 = jnp.asarray([1.0, 0.0, 0.0], qe.dtype)
+            t_hat = lie.quat_rotate_normalized(
+                q_full, jnp.broadcast_to(e1, r_full.shape))
+            v_t = jnp.einsum("...c,...c->...", rdot, t_hat)[..., None] * t_hat
+            f_drag = -(c_tan * v_t + c_nrm * (rdot - v_t))
+            r_cot = r_cot + w_q[:, None] * f_drag
         if tip_force is not None:
             # Q_tip = J_tip^T F (tip = point 0 of the full grid)
             f = jnp.broadcast_to(jnp.asarray(tip_force, qe.dtype),
@@ -911,14 +970,6 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
             dr_u, dq_u = pull_u(-jnp.ones_like(u))
             r_cot = r_cot + dr_u
             q_cot = q_cot + dq_u
-        if cfg.contacts:
-            rdot = None
-            if any(ct.damping or ct.friction for ct in cfg.contacts):
-                # One linearized solve for the grid velocities (dashpots
-                # and friction need them); XLA CSEs its primal with the
-                # vjp's.
-                _, rdot = jax.jvp(
-                    lambda q: cfg.state_full(q, iters)[0], (qe,), (qd,))
         for ct in cfg.contacts:
             # Everything below reads off ONE vjp of the gap field: the
             # conservative penalty is -k s s' ∇g, the dashpot rides the
@@ -1614,6 +1665,14 @@ def damped_spectrum(cfg: DynamicsConfig, qe=None, tip_force=None,
                                     b_field)
     k_eff = -np.asarray(jax.jacfwd(residual)(qe_flat), np.float64)
     c = cfg.damping * m + cfg.kv_damping * k_ee
+    if cfg.fluid_drag is not None:
+        cf = np.asarray(fluid_damping_matrix(qe, cfg, iters), np.float64)
+        if scene_shape is not None:                   # block-diagonal drag
+            cf_full = np.zeros_like(m)
+            for i in range(scene_shape[0]):
+                cf_full[i * nq:(i + 1) * nq, i * nq:(i + 1) * nq] = cf[i]
+            cf = cf_full
+        c = c + cf
     minv = np.linalg.inv(m)
     n_flat = m.shape[0]
     comp = np.block([
@@ -1660,6 +1719,8 @@ def frequency_response(cfg: DynamicsConfig, omegas, drive_force=None,
                                     tension=tension, b_field=b_field)
     k_eff = -np.asarray(jax.jacfwd(residual)(qe), np.float64)
     c = cfg.damping * m + cfg.kv_damping * np.asarray(cfg.k_ee, np.float64)
+    if cfg.fluid_drag is not None:
+        c = c + np.asarray(fluid_damping_matrix(qe, cfg, iters), np.float64)
 
     # Drive pattern: the affine load structure makes the difference of two
     # balance evaluations at the SAME state the exact generalized force.
