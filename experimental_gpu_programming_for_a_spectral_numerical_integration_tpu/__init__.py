@@ -33,7 +33,7 @@ from .models.rod import (
 )
 from .models import (ivp, cosserat, segments, calibration, dynamics,
                      bifurcation, segment_statics, tendon, constrained,
-                     magnetics, sensing, ctr)
+                     magnetics, sensing, ctr, estimation)
 
 __version__ = "0.1.0"
 
@@ -70,4 +70,5 @@ __all__ = [
     "magnetics",
     "sensing",
     "ctr",
+    "estimation",
 ]

@@ -32,6 +32,8 @@ __all__ = [
     "sharded_simulate",
     "sharded_actuated_statics",
     "sharded_platform_statics",
+    "sharded_ctr_workspace",
+    "sharded_ekf",
 ]
 
 RODS_AXIS = "rods"
@@ -227,6 +229,61 @@ def sharded_magnetic_statics(mesh: Mesh, cfg, **kwargs):
             qe=qe, residual_norm=rnorm, iterations=iters, converged=conv)
 
     return solve
+
+
+def sharded_ctr_workspace(mesh: Mesh, cfg, **kwargs):
+    """Multi-chip concentric-tube-robot workspace sweep: actuation angles
+    ``alphas (B, T)`` -> ``(theta (B, T, n), tips (B, 3), iterations,
+    residual_norm)`` — each chip Newton-solves its local slab of the
+    actuation grid (models/ctr.py torsion BVP) and chains the backbone
+    shape; samples are independent, so no collectives."""
+    from ..models import ctr as ctr_mod
+
+    shape_kwargs = {k: kwargs.pop(k) for k in ("method", "iters")
+                    if k in kwargs}
+
+    def local(alphas):
+        sol = ctr_mod.solve_ctr(alphas, cfg, **kwargs)
+        shp = ctr_mod.ctr_shape(sol.theta, cfg, **shape_kwargs)
+        iters = jnp.full(alphas.shape[:1], sol.iterations)
+        return (sol.theta, shp.positions[..., 0, :], iters,
+                jnp.linalg.norm(sol.residual, axis=-1))
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(RODS_AXIS, None),
+        out_specs=(P(RODS_AXIS, None, None), P(RODS_AXIS, None),
+                   P(RODS_AXIS), P(RODS_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(step, in_shardings=NamedSharding(mesh, P(RODS_AXIS,
+                                                            None)))
+
+
+def sharded_ekf(mesh: Mesh, cfg, **kwargs):
+    """Multi-chip fleet estimation: run B independent EKFs (a fleet of
+    instrumented rods, or Monte-Carlo consistency replicas) sharded over
+    the mesh.  ``(ys (steps, B, m), x0 (B, 2nq), p0 (2nq, 2nq)
+    replicated)`` -> ``(xs (steps, B, 2nq), covs, nis)`` — the filter
+    recursion is per-sample, so no collectives."""
+    from ..models import estimation as est_mod
+
+    def local(ys, x0, p0):
+        res = est_mod.ekf(ys, cfg, x0, p0, **kwargs)
+        return res.xs, res.covs, res.nis
+
+    step = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, RODS_AXIS, None), P(RODS_AXIS, None), P()),
+        out_specs=(P(None, RODS_AXIS, None),
+                   P(None, RODS_AXIS, None, None), P(None, RODS_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(step, in_shardings=(
+        NamedSharding(mesh, P(None, RODS_AXIS, None)),
+        NamedSharding(mesh, P(RODS_AXIS, None)),
+        NamedSharding(mesh, P()),
+    ))
 
 
 def sharded_segmented_statics(mesh: Mesh, cfg=None, **kwargs):

@@ -1,0 +1,126 @@
+"""EKF / RTS estimation layer (models/estimation.py).
+
+Gates: chi-square NEES consistency over a Monte-Carlo batch of filters
+(one lax.scan), the filter beating per-frame static fits, the smoother
+beating the filter, and locked tracking under a known harmonic drive.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (
+    cosserat,
+    dynamics,
+    estimation,
+    rod,
+    sensing,
+)
+
+
+def _cfg(r_sigma=1e-3, q_accel=1e-10, dt=0.01):
+    rc = rod.RodConfig(n=10, na=3, ne=2)
+    dcfg = dynamics.DynamicsConfig(
+        statics=cosserat.StaticsConfig(rod=rc), rho_a=1.0, rho_i=1e-2)
+    scfg = sensing.SensingConfig(rod=rc, marker_fracs=(),
+                                 pose_fracs=(0.5, 1.0))
+    return estimation.FilterConfig(dynamics=dcfg, sensing=scfg, dt=dt,
+                                   q_accel=q_accel, r_sigma=r_sigma)
+
+
+def _truth_and_measurements(cfg, key, batch=(), x0_mean=None, p0_scale=1e-4,
+                            steps=30, tip_force=None):
+    nq = cfg.nq
+    d = 2 * nq
+    if x0_mean is None:
+        x0_mean = np.zeros(d)
+        x0_mean[2] = 0.4         # first bending-y mode
+        x0_mean[nq + 3] = 0.3    # bending-y rate kick
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+    dx = jnp.sqrt(p0_scale) * jax.random.normal(k1, batch + (d,),
+                                                dtype=jnp.float64)
+    x0_true = jnp.asarray(x0_mean) + dx
+    xs, ys = estimation.simulate_measurements(
+        x0_true[..., :nq], x0_true[..., nq:], cfg, steps, k2,
+        tip_force=tip_force)
+    return jnp.asarray(x0_mean), x0_true, xs, ys
+
+
+def test_nees_consistency_monte_carlo():
+    """Mean normalized estimation error squared over an MC batch of
+    filters should sit near the state dimension (chi-square mean d=12);
+    a wrong F, a missing Joseph term, or a bad gain blows this up by
+    orders of magnitude."""
+    cfg = _cfg()
+    d = 2 * cfg.nq
+    p0 = 1e-4 * np.eye(d)
+    x0_mean, x0_true, xs, ys = _truth_and_measurements(
+        cfg, jax.random.PRNGKey(7), batch=(6,))
+    x0 = jnp.broadcast_to(x0_mean, x0_true.shape)
+    res = estimation.ekf(ys, cfg, x0, jnp.asarray(p0))
+    err = res.xs - xs                                  # (steps, B, d)
+    tail = slice(10, None)
+    e, p = err[tail], res.covs[tail]
+    nees = jnp.einsum("sbi,sbij,sbj->sb", e,
+                      jnp.linalg.inv(p), e)
+    mean_nees = float(jnp.mean(nees))
+    assert 0.3 * d < mean_nees < 3.0 * d, mean_nees
+    # innovations consistent too: mean NIS ~ measurement dim
+    m = ys.shape[-1]
+    mean_nis = float(jnp.mean(res.nis[tail]))
+    assert 0.3 * m < mean_nis < 3.0 * m, mean_nis
+
+
+def test_filter_beats_per_frame_static_fit():
+    """With pose stations the static fit is well-posed frame by frame,
+    but the filter fuses history: strain RMSE must come out lower."""
+    cfg = _cfg(r_sigma=3e-3)
+    nq = cfg.nq
+    d = 2 * nq
+    x0_mean, x0_true, xs, ys = _truth_and_measurements(
+        cfg, jax.random.PRNGKey(3), steps=40)
+    res = estimation.ekf(ys, cfg, x0_mean, 1e-3 * jnp.eye(d))
+    tail = slice(20, None)
+    rmse_f = float(jnp.sqrt(jnp.mean(
+        (res.xs[tail, :nq] - xs[tail, :nq]) ** 2)))
+    fit = sensing.fit_strain(ys[tail], cfg.sensing, tol=1e-12, max_iter=15)
+    rmse_s = float(jnp.sqrt(jnp.mean((fit.qe - xs[tail, :nq]) ** 2)))
+    assert rmse_f < 0.8 * rmse_s, (rmse_f, rmse_s)
+    assert rmse_f < 3e-3
+
+
+def test_rts_smoother_improves_on_filter():
+    cfg = _cfg(r_sigma=3e-3)
+    nq = cfg.nq
+    d = 2 * nq
+    x0_mean, x0_true, xs, ys = _truth_and_measurements(
+        cfg, jax.random.PRNGKey(11), steps=40)
+    res = estimation.ekf(ys, cfg, x0_mean, 1e-3 * jnp.eye(d))
+    xs_s, ps_s = estimation.rts_smoother(res, cfg)
+    rmse_f = float(jnp.sqrt(jnp.mean((res.xs - xs) ** 2)))
+    rmse_s = float(jnp.sqrt(jnp.mean((xs_s - xs) ** 2)))
+    assert rmse_s < 0.9 * rmse_f, (rmse_s, rmse_f)
+    # smoothed covariances stay symmetric PSD
+    sym = float(jnp.max(jnp.abs(ps_s - jnp.swapaxes(ps_s, -1, -2))))
+    assert sym < 1e-10
+    assert float(jnp.min(jnp.linalg.eigvalsh(ps_s))) > -1e-12
+
+
+def test_tracks_known_driven_motion():
+    """A known harmonic tip drive threads through the process model; the
+    filter stays locked on the driven trajectory."""
+    cfg = _cfg(r_sigma=1e-3)
+    nq = cfg.nq
+    d = 2 * nq
+    drive = lambda t: jnp.stack(
+        [0.0 * t, 0.0 * t, 0.05 * jnp.sin(3.0 * t)], axis=-1)
+    x0_mean, x0_true, xs, ys = _truth_and_measurements(
+        cfg, jax.random.PRNGKey(5), steps=35,
+        x0_mean=np.zeros(d), tip_force=drive)
+    res = estimation.ekf(ys, cfg, x0_mean, 1e-4 * jnp.eye(d),
+                         tip_force=drive)
+    tail = slice(15, None)
+    rmse = float(jnp.sqrt(jnp.mean((res.xs[tail] - xs[tail]) ** 2)))
+    amp = float(jnp.sqrt(jnp.mean(xs[tail] ** 2)))
+    assert amp > 1e-3           # the drive actually moves the rod
+    assert rmse < 0.1 * amp, (rmse, amp)
