@@ -1520,6 +1520,52 @@ def parametric_stability_map(cfg: DynamicsConfig, omegas, amplitudes,
     return (amp / seed).reshape(n_o, n_a)
 
 
+def floquet_multipliers(cfg: DynamicsConfig, period: float, steps: int,
+                        qe0=None, qd0=None, iters: int = 16,
+                        tip_force=None, tip_moment=None, base_accel=None,
+                        tension=None, b_field=None):
+    """Floquet multipliers of the time-``period`` map about a periodic
+    state: eigenvalues of the monodromy matrix ``M = dz(T)/dz(0)`` of the
+    flow ``z = (qe, qd)`` linearized at ``z0 = (qe0, qd0)``.
+
+    The RIGOROUS instability criterion the growth-factor heuristic of
+    :func:`parametric_stability_map` approximates: ``max |mu| > 1`` iff the
+    periodic state is linearly unstable, with the growth exponent per
+    period read off directly (Mathieu tongue BOUNDARIES sit exactly at
+    ``|mu| = 1``).  Drives are the usual protocols (callables of ``t``,
+    phase-locked to ``t = 0``); for the classic parametric study the state
+    is the straight rod under an axial modulation — an exact periodic
+    solution, since an axial tip load exerts no transverse moment at
+    ``qe = 0``.
+
+    TPU-natively the monodromy is NOT integrated column-by-column: one
+    ``jacfwd`` pushes all ``2 nq`` tangent directions through the RK4
+    ``lax.scan`` in a single vmapped forward pass (exact AD of the
+    integrator, no variational-equation re-derivation), then the dense
+    ``2nq x 2nq`` eigenproblem is trivial.  For the undriven damped rod the
+    multipliers equal ``exp(lambda_k T)`` with ``lambda_k`` the
+    :func:`damped_spectrum` poles — the cross-gate in the tests.
+    """
+    nq = cfg.nq
+    if qe0 is None:
+        qe0 = jnp.zeros(nq)
+    qe0 = jnp.asarray(qe0)
+    if qd0 is None:
+        qd0 = jnp.zeros_like(qe0)
+    z0 = jnp.concatenate([qe0, jnp.asarray(qd0, qe0.dtype)])
+
+    def flow(z):
+        traj = simulate(z[:nq], z[nq:], cfg, dt=period / steps, steps=steps,
+                        iters=iters, tip_force=tip_force,
+                        tip_moment=tip_moment, base_accel=base_accel,
+                        tension=tension, b_field=b_field,
+                        record_energy=False)
+        return jnp.concatenate([traj.qes[-1], traj.qds[-1]])
+
+    monodromy = jax.jacfwd(flow)(z0)
+    return jnp.linalg.eigvals(monodromy)
+
+
 def natural_frequencies(cfg: DynamicsConfig, qe0=None, iters: int = 24):
     """Linearized small-oscillation frequencies about a configuration.
 

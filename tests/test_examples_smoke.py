@@ -22,6 +22,7 @@ EXAMPLES = [
     "flutter_analysis.py",
     "parallel_robot.py",
     "magnetic_catheter.py",
+    "optimal_control.py",
 ]
 
 
