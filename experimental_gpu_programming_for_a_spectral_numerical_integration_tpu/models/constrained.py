@@ -179,7 +179,7 @@ def solve_tip_constrained(cfg: dyn.DynamicsConfig, tip_position=None,
             add = jnp.asarray(tip_moment, z.dtype)
             m = add if m is None else m + add
         _, rhs = dyn._mass_and_rhs(qe, jnp.zeros_like(qe), cfg, f, iters,
-                                   m, tension=tension)
+                                   m, tension=tension, static_only=True)
         r, q = cfg.state_full(qe, iters)   # CSEd with _mass_and_rhs's solve
         cons = []
         if has_pos:
@@ -391,7 +391,7 @@ def _platform_system(robot: PlatformRobot, platform_force, platform_moment,
         # Per-leg balances: the R axis rides as a batch axis.
         _, rhs = dyn._mass_and_rhs(qe, jnp.zeros_like(qe), cfg, f_leg,
                                    iters, m_body, extra_accel=extra,
-                                   tension=tension)
+                                   tension=tension, static_only=True)
         r_full, q_full = cfg.state_full(qe, iters)       # CSEd with above
         tip_loc, qtip_loc = r_full[..., 0, :], q_full[..., 0, :]
         # World tip poses and targets.

@@ -857,9 +857,16 @@ def total_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16,
 
 def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
                   iters: int = 16, tip_moment=None, extra_accel=None,
-                  tension=None, b_field=None):
+                  tension=None, b_field=None, static_only: bool = False):
     """``(M(qe), rhs)`` of the Euler-Lagrange balance ``M qdd = rhs``
     (damping excluded — see :func:`accelerations`).
+
+    ``static_only=True`` (the ``qd = 0`` balance of
+    :func:`_balance_residual_fn` and the constrained/tendon statics):
+    skips the mass assembly and the inertial terms — which are exactly
+    zero at ``qd = 0`` but would otherwise still be traced, taxing every
+    statics Newton residual AND its Jacobian with ``nq`` dead tangent
+    passes — and returns ``(None, rhs)``.
 
     ``tip_moment``: dead tip couple; its generalized force pulls the moment
     back through the linear quaternion-rate→angular-velocity map and the
@@ -881,23 +888,26 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
         rhs = rhs - cfg.kv_damping * jnp.einsum("ij,...j->...i", k, qd,
                                                 precision="highest")
 
-    # Inertial forces from the SCALAR kinetic energy, not from dM/dq:
-    # with T(q, qd) = 1/2 qd^T M(q) qd (kinetic_energy evaluates it via
-    # ONE state jvp), the Euler-Lagrange inertia expands to
-    #   M qdd = ... - (d/dt M) qd + dT/dq
-    # where (d/dt M) qd = jvp_q[ grad_qd T ](qd)  (grad_qd T = M qd).
-    # Each term is a couple of tangent/cotangent passes over the ONE-
-    # direction velocity functional instead of second-order AD over the
-    # nq-direction mass assembly — measured ~2x on the RK4 step (nq = 9;
-    # the gap widens with nq on segmented chains).
-    m = mass_matrix(qe, cfg, iters)
+    if static_only:
+        m = None
+    else:
+        # Inertial forces from the SCALAR kinetic energy, not from dM/dq:
+        # with T(q, qd) = 1/2 qd^T M(q) qd (kinetic_energy evaluates it via
+        # ONE state jvp), the Euler-Lagrange inertia expands to
+        #   M qdd = ... - (d/dt M) qd + dT/dq
+        # where (d/dt M) qd = jvp_q[ grad_qd T ](qd)  (grad_qd T = M qd).
+        # Each term is a couple of tangent/cotangent passes over the ONE-
+        # direction velocity functional instead of second-order AD over the
+        # nq-direction mass assembly — measured ~2x on the RK4 step (nq = 9;
+        # the gap widens with nq on segmented chains).
+        m = mass_matrix(qe, cfg, iters)
 
-    def t_scalar(q_, qd_):
-        return jnp.sum(kinetic_energy(q_, qd_, cfg, iters))
+        def t_scalar(q_, qd_):
+            return jnp.sum(kinetic_energy(q_, qd_, cfg, iters))
 
-    mdot_qd = jax.jvp(lambda q_: jax.grad(t_scalar, argnums=1)(q_, qd),
-                      (qe,), (qd,))[1]
-    rhs = rhs - mdot_qd + jax.grad(t_scalar, argnums=0)(qe, qd)
+        mdot_qd = jax.jvp(lambda q_: jax.grad(t_scalar, argnums=1)(q_, qd),
+                          (qe,), (qd,))[1]
+        rhs = rhs - mdot_qd + jax.grad(t_scalar, argnums=0)(qe, qd)
 
     g_eff = None
     if cfg.gravity is not None:
@@ -1332,7 +1342,7 @@ def _balance_residual_fn(cfg: DynamicsConfig, tip_force, tip_moment,
             q = qe.reshape(qe.shape[:-1] + scene_shape)
             _, rhs = _mass_and_rhs(q, jnp.zeros_like(q), cfg, tip_force,
                                    iters, tip_moment, tension=tension,
-                                   b_field=b_field)
+                                   b_field=b_field, static_only=True)
             rhs = rhs - jax.grad(
                 lambda q2: jnp.sum(rr.pair_potential(
                     _scene_positions(q2, cfg, base_positions, iters),
@@ -1341,7 +1351,7 @@ def _balance_residual_fn(cfg: DynamicsConfig, tip_force, tip_moment,
             return rhs.reshape(qe.shape)
         _, rhs = _mass_and_rhs(qe, jnp.zeros_like(qe), cfg, tip_force,
                                iters, tip_moment, tension=tension,
-                               b_field=b_field)
+                               b_field=b_field, static_only=True)
         return rhs
 
     return residual

@@ -298,7 +298,8 @@ def tip_sensitivity(qe, tension, cfg, tip_force=None, tip_moment=None,
 
     def balance(q_, t_):
         _, rhs = dyn._mass_and_rhs(q_, jnp.zeros_like(q_), cfg, tip_force,
-                                   iters, tip_moment, tension=t_)
+                                   iters, tip_moment, tension=t_,
+                                   static_only=True)
         return rhs
 
     _, lin_q = jax.linearize(lambda q_: balance(q_, tension), qe)
