@@ -33,7 +33,7 @@ from .models.rod import (
 )
 from .models import (ivp, cosserat, segments, calibration, dynamics,
                      bifurcation, segment_statics, tendon, constrained,
-                     magnetics, sensing, ctr, estimation)
+                     magnetics, sensing, ctr, estimation, control)
 
 __version__ = "0.1.0"
 
@@ -71,4 +71,5 @@ __all__ = [
     "sensing",
     "ctr",
     "estimation",
+    "control",
 ]
