@@ -23,6 +23,7 @@ EXAMPLES = [
     "parallel_robot.py",
     "magnetic_catheter.py",
     "optimal_control.py",
+    "shape_sensing.py",
 ]
 
 
