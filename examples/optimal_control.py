@@ -53,7 +53,8 @@ def main():
     target = control.tip_positions(ref.qes[-1], cfg)
     print(f"maneuver target tip: {np.asarray(target).round(4)}")
 
-    cost = control.tip_target_cost(cfg, target, effort_weight=1e-5)
+    cost = control.tip_target_cost(cfg, target, effort_weight=1e-5,
+                                   transform=jax.nn.softplus)
     sol = control.optimize_protocol(
         cost, jnp.full((3, 2), -1.0), cfg, dt, steps, channel="tension",
         transform=jax.nn.softplus, iterations=8 if smoke else 80,

@@ -26,8 +26,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import jax
+
+# Estimation is precision-sensitive (GN tol 1e-12, f64 posteriors): pin
+# the CPU backend + x64 like the other precision-bound examples.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
 import jax.numpy as jnp
 
 from experimental_gpu_programming_for_a_spectral_numerical_integration_tpu.models import (

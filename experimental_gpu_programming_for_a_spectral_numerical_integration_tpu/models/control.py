@@ -67,6 +67,10 @@ def protocol_from_knots(knots, horizon: float,
     clipping gradients at a bound.
     """
     knots = jnp.asarray(knots)
+    if not jnp.issubdtype(knots.dtype, jnp.floating):
+        # integer knot lists would truncate the traced time (and leak an
+        # integer state dtype into rollout's default qe0)
+        knots = knots.astype(jnp.result_type(knots.dtype, jnp.float32))
     if knots.ndim != 2 or knots.shape[0] < 2:
         raise ValueError(f"knots must be (K >= 2, m), got {knots.shape}")
     k = knots.shape[0]
@@ -101,7 +105,13 @@ def rollout(knots, cfg: dynamics_mod.DynamicsConfig, dt: float, steps: int,
     if channel in sim_kwargs:
         raise ValueError(f"channel {channel!r} also passed in sim_kwargs")
     knots = jnp.asarray(knots)
-    proto = protocol_from_knots(knots, dt * steps, transform)
+    if not jnp.issubdtype(knots.dtype, jnp.floating):
+        knots = knots.astype(jnp.result_type(knots.dtype, jnp.float32))
+    # the knot grid spans the SIMULATED window [t0, t0 + dt*steps]
+    t0 = sim_kwargs.get("t0", 0.0)
+    base = protocol_from_knots(knots, dt * steps, transform)
+    proto = (base if not t0 else (lambda t: base(t - t0)))
+    record_energy = sim_kwargs.pop("record_energy", False)
     nq = cfg.nq
     if qe0 is None:
         qe0 = jnp.zeros((nq,), knots.dtype)
@@ -110,7 +120,8 @@ def rollout(knots, cfg: dynamics_mod.DynamicsConfig, dt: float, steps: int,
         qd0 = jnp.zeros_like(qe0)
     sim = dynamics_mod.simulate_implicit if implicit else dynamics_mod.simulate
     return sim(qe0, qd0, cfg, dt=dt, steps=steps, iters=iters,
-               record_energy=False, **{channel: proto}, **sim_kwargs)
+               record_energy=record_energy, **{channel: proto},
+               **sim_kwargs)
 
 
 def tip_positions(qes, cfg: dynamics_mod.DynamicsConfig, iters: int = 16):
@@ -123,11 +134,18 @@ def tip_positions(qes, cfg: dynamics_mod.DynamicsConfig, iters: int = 16):
 
 def tip_target_cost(cfg: dynamics_mod.DynamicsConfig, target,
                     velocity_weight: float = 0.0,
-                    effort_weight: float = 0.0, iters: int = 16):
+                    effort_weight: float = 0.0, iters: int = 16,
+                    transform: Callable | None = None):
     """Terminal-cost factory: squared tip-position miss at the final step,
     plus optional quadratic penalties on the terminal strain rate (arrive
-    AT REST) and on the knot magnitudes (actuation effort).  Batched
-    ``qe0`` families sum their misses (one protocol, many rods)."""
+    AT REST) and on the actuation effort.  Batched ``qe0`` families sum
+    their misses (one protocol, many rods).
+
+    ``transform`` must match the rollout's knot transform when
+    ``effort_weight > 0``: the penalty applies to ``transform(knots)`` —
+    the PHYSICAL drive values — not the raw knots (under a softplus
+    tension map a fully slack cable has a large-negative knot; penalizing
+    that raw value would push the optimizer TOWARD tension)."""
     target = jnp.asarray(target)
 
     def cost(traj: dynamics_mod.Trajectory, knots):
@@ -136,7 +154,8 @@ def tip_target_cost(cfg: dynamics_mod.DynamicsConfig, target,
         if velocity_weight:
             c = c + velocity_weight * jnp.sum(traj.qds[-1] ** 2)
         if effort_weight:
-            c = c + effort_weight * jnp.mean(jnp.square(knots))
+            drive = transform(knots) if transform is not None else knots
+            c = c + effort_weight * jnp.mean(jnp.square(drive))
         return c
 
     return cost
@@ -161,8 +180,22 @@ def optimize_protocol(cost, knots0, cfg: dynamics_mod.DynamicsConfig,
     reverse-mode AD.  The optimizer loop itself is a ``lax.scan`` under
     one ``jit``, so a 100-iteration optimization is a single device
     program — the TPU-native answer to host-looped shooting methods.
-    Default optimizer: ``optax.adam(0.1)``.
+    Default optimizer: ``optax.adam(0.1)``.  ``losses[i]`` is the loss of
+    the knots AFTER Adam step ``i + 1`` (``losses[-1]`` scores the
+    returned ``knots``).
+
+    RK4 only (``implicit=False``): reverse-mode through the implicit
+    Newmark step would differentiate a ``while_loop`` Newton, which JAX
+    does not support — the right tool there is an IFT custom VJP on the
+    Newmark residual, not AD through the iteration (DESIGN.md §13).
     """
+    if implicit:
+        raise ValueError(
+            "optimize_protocol requires the RK4 integrator "
+            "(implicit=False): reverse-mode AD cannot differentiate "
+            "simulate_implicit's while_loop Newton; wrap the Newmark "
+            "residual in an IFT custom VJP if a stiff-implicit control "
+            "path is needed")
     if optimizer is None:
         optimizer = optax.adam(0.1)
     knots0 = jnp.asarray(knots0)
@@ -185,8 +218,12 @@ def optimize_protocol(cost, knots0, cfg: dynamics_mod.DynamicsConfig,
     def run(kn0):
         (kn, _), losses = jax.lax.scan(
             adam_step, (kn0, optimizer.init(kn0)), None, length=iterations)
-        gnorm = jnp.linalg.norm(vg(kn)[1])
-        return kn, losses, gnorm
+        # adam_step records the loss BEFORE each update; shift by one and
+        # close with the returned iterate's own loss (whose gradient also
+        # serves as the convergence diagnostic).
+        loss_f, g_f = vg(kn)
+        losses = jnp.concatenate([losses[1:], loss_f[None]])
+        return kn, losses, jnp.linalg.norm(g_f)
 
     kn, losses, gnorm = run(knots0)
     return ControlSolution(knots=kn, losses=losses, grad_norm=gnorm)

@@ -1594,7 +1594,10 @@ def floquet_multipliers(cfg: DynamicsConfig, period: float, steps: int,
         return jnp.concatenate([traj.qes[-1], traj.qds[-1]])
 
     monodromy = jax.jacfwd(flow)(z0)
-    return jnp.linalg.eigvals(monodromy)
+    # Host eigendecomposition, like every sibling spectrum routine
+    # (damped_spectrum, linearized_spectrum): the nonsymmetric eig has no
+    # TPU lowering, and the 2nq x 2nq problem is trivial on host.
+    return np.linalg.eigvals(np.asarray(monodromy, np.float64))
 
 
 def natural_frequencies(cfg: DynamicsConfig, qe0=None, iters: int = 24):
