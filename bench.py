@@ -263,6 +263,18 @@ def main():
     rate_dyn = _try_rate("dynamics_rk4", b_dyn * dyn_steps,
                          jax.jit(dynamics_step), qe_dyn, reps=3)
 
+    # The fused-mass lane (r5): M(qe) assembled on the MXU from the
+    # fused-kernel IFT tangents per RK4 stage (mass_tier='fused',
+    # forward-only) — measured 26x the XLA-mass lane on v5e.
+    def dynamics_fused_step(q):
+        traj = dynamics.simulate(q, jnp.zeros_like(q), dyn_cfg, dt=0.002,
+                                 steps=dyn_steps, iters=10,
+                                 record_energy=False, mass_tier="fused")
+        return jnp.sum(traj.qes[-1])
+
+    rate_dyn_fused = _try_rate("dynamics_rk4_fused", b_dyn * dyn_steps,
+                               jax.jit(dynamics_fused_step), qe_dyn, reps=3)
+
     # Tendon-actuated equilibria (the continuum-robot workspace sweep):
     # batched damped Newton on the Lagrangian balance with exact
     # routed-length-gradient actuation forces (models/tendon.py).
@@ -330,6 +342,7 @@ def main():
             "reissner6dof_n64_solves_per_sec": rate_reissner64,
             "segmented_statics_bvp_solves_per_sec": rate_seg,
             "dynamics_rk4_rod_steps_per_sec": rate_dyn,
+            "dynamics_rk4_fused_mass_rod_steps_per_sec": rate_dyn_fused,
             "actuated_statics_solves_per_sec": rate_act,
             "rel_linf_error_vs_f64_reference": rel_err,
             "accuracy_gate_1e-8": rel_err <= 1e-8,

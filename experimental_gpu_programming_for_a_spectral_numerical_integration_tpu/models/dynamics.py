@@ -762,6 +762,54 @@ def mass_matrix(qe, cfg: DynamicsConfig, iters: int = 16):
                                      om_cols, precision="highest"))
 
 
+def mass_matrix_fused(qe, cfg: DynamicsConfig, iters: int = 16,
+                      tile: int | None = None,
+                      interpret: bool | None = None,
+                      jac_iters: int | None = None,
+                      jac_precision: str = "high"):
+    """``M(qe)`` assembled from the FUSED-kernel IFT tangents — the same
+    quadrature as :func:`mass_matrix` but with the ``nq`` state tangents
+    computed by ``cosserat._fused_state_and_tangents`` (one fused primal
+    solve + ONE direction-stacked fused correction on the MXU) instead of
+    ``nq`` differentiated XLA Picard chains.  f32-kernel grade (~1e-5
+    relative — far below the mass quadrature's own discretization error);
+    bit-compatible lane for the RK4 throughput path via
+    ``simulate(mass_tier='fused')``.
+
+    Single-rod :class:`DynamicsConfig` only (the segmented subclass routes
+    state through chained hooks the kernels don't see), and NOT
+    differentiable (pallas_call carries no AD rule) — the default XLA tier
+    remains the path under ``jax.grad``/``linearize`` (control rollouts,
+    implicit Newton, spectra).
+    """
+    if type(cfg) is not DynamicsConfig:
+        raise ValueError(
+            "mass_matrix_fused supports the single-rod DynamicsConfig "
+            f"only, got {type(cfg).__name__}; use mass_matrix")
+    if interpret is None:
+        # pallas needs interpret mode on CPU backends (tests / dryrun)
+        interpret = jax.default_backend() == "cpu"
+    qe = jnp.asarray(qe)
+    lead, nq = qe.shape[:-1], qe.shape[-1]
+    qe2 = qe.reshape((-1, nq)).astype(jnp.float32)
+    if tile is None:
+        tile = cosserat._pick_tile(qe2.shape[0], cfg.rod)
+    q_full, _, dq_dirs, dr_dirs = cosserat._fused_state_and_tangents(
+        qe2, cfg.statics, iters, tile, interpret,
+        jac_iters=jac_iters, jac_precision=jac_precision)
+    npts = cfg.rod.grid.num_unknown
+    om_dirs = _omega_from_dq(q_full[None, :, :npts, :], dq_dirs)
+    # clamped base: zero tangents at the appended last grid point
+    pad = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    om, dr = pad(om_dirs), pad(dr_dirs)
+    w = jnp.asarray(cfg.quad_weights_full, jnp.float32)
+    m = (cfg.rho_a * jnp.einsum("j,ibjc,kbjc->bik", w, dr, dr,
+                                precision="highest")
+         + cfg.rho_i * jnp.einsum("j,ibjc,kbjc->bik", w, om, om,
+                                  precision="highest"))
+    return m.reshape(lead + (nq, nq)).astype(qe.dtype)
+
+
 def fluid_damping_matrix(qe, cfg: DynamicsConfig, iters: int = 16):
     """``C_f(qe) = int J_r^T [c_n I + (c_t - c_n) t t^T] J_r dX`` —
     ``(..., nq, nq)``, the EXACT generalized damping of the
@@ -857,7 +905,8 @@ def total_energy(qe, qd, cfg: DynamicsConfig, iters: int = 16,
 
 def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
                   iters: int = 16, tip_moment=None, extra_accel=None,
-                  tension=None, b_field=None, static_only: bool = False):
+                  tension=None, b_field=None, static_only: bool = False,
+                  mass_tier: str = "xla"):
     """``(M(qe), rhs)`` of the Euler-Lagrange balance ``M qdd = rhs``
     (damping excluded — see :func:`accelerations`).
 
@@ -900,7 +949,10 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
         # direction velocity functional instead of second-order AD over the
         # nq-direction mass assembly — measured ~2x on the RK4 step (nq = 9;
         # the gap widens with nq on segmented chains).
-        m = mass_matrix(qe, cfg, iters)
+        # ``mass_tier='fused'`` assembles M itself on the MXU (the RK4
+        # throughput lane; forward-only — see mass_matrix_fused).
+        m = (mass_matrix_fused(qe, cfg, iters) if mass_tier == "fused"
+             else mass_matrix(qe, cfg, iters))
 
         def t_scalar(q_, qd_):
             return jnp.sum(kinetic_energy(q_, qd_, cfg, iters))
@@ -1036,14 +1088,17 @@ def _mass_and_rhs(qe, qd, cfg: DynamicsConfig, tip_force=None,
 
 def accelerations(qe, qd, cfg: DynamicsConfig, tip_force=None,
                   iters: int = 16, tip_moment=None, extra_accel=None,
-                  tension=None, b_field=None):
+                  tension=None, b_field=None, mass_tier: str = "xla"):
     """``qdd`` from the Euler-Lagrange equations, batched over leading axes.
 
     ``M qdd = Q_ext - K_ee dqe - (dM/dt) qd + 1/2 grad(qd^T M qd)``,
     then mass-proportional damping ``qdd -= damping qd``.
+    ``mass_tier='fused'`` assembles M on the MXU (forward-only lane —
+    see :func:`mass_matrix_fused`).
     """
     m, rhs = _mass_and_rhs(qe, qd, cfg, tip_force, iters, tip_moment,
-                           extra_accel, tension, b_field)
+                           extra_accel, tension, b_field,
+                           mass_tier=mass_tier)
     qdd = smallsolve.gauss_jordan_solve(m, rhs)
     if cfg.damping:
         qdd = qdd - cfg.damping * qd
@@ -1166,7 +1221,8 @@ def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
              tip_force=None, iters: int = 16,
              record_energy: bool = True, tip_moment=None,
              base_accel=None, t0: float = 0.0,
-             tension=None, b_field=None) -> Trajectory:
+             tension=None, b_field=None,
+             mass_tier: str = "xla") -> Trajectory:
     """RK4 time integration under ``lax.scan`` — jittable, batched.
 
     **Driven protocols** (VERDICT r2 next #7): ``tip_force``,
@@ -1178,6 +1234,12 @@ def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
     force ``-rho_a a_b`` applied along the rod — the support-excitation /
     base-shaking protocol.  The returned motion is RELATIVE to the moving
     base.
+
+    ``mass_tier='fused'``: assemble the mass matrix on the MXU via the
+    fused-kernel IFT tangents (:func:`mass_matrix_fused`) — the
+    throughput lane for plain forward rollouts; keep the default
+    ``'xla'`` tier when the trajectory is differentiated
+    (``control.optimize_protocol``) or on segmented configs.
     """
     qe0 = jnp.asarray(qe0)
     qd0 = jnp.asarray(qd0, qe0.dtype)
@@ -1191,7 +1253,8 @@ def simulate(qe0, qd0, cfg: DynamicsConfig, dt: float, steps: int,
             tip_moment=_load_at(tip_moment, t, dtype),
             extra_accel=None if ea is None else -ea,
             tension=_load_at(tension, t, dtype),
-            b_field=magnetics_mod.field_at(b_field, t))
+            b_field=magnetics_mod.field_at(b_field, t),
+            mass_tier=mass_tier)
 
     def rk4(state, _):
         qe, qd, t = state
